@@ -1,0 +1,179 @@
+"""Shared Flax building blocks for the SD1-family modules.
+
+TPU conventions used throughout the nn/ package:
+  * NHWC activation layout (XLA:TPU-native conv layout).
+  * Parameters are fp32; compute dtype is configurable (bf16 on TPU).
+  * GroupNorm / LayerNorm / softmax run in fp32 islands and cast back
+    (the reference's GroupNorm32, external/sd1/.../util.py:218-220).
+  * 1x1 convs are expressed as Dense over the channel axis (identical math,
+    better XLA fusion).
+
+Reference counterparts are cited per class; the implementations are
+independent JAX designs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """SD sinusoidal timestep embedding, [cos | sin] order.
+
+    Matches external/sd1/.../util.py:152-173 (and mvdfusion/embedder.py:114).
+    t: (B,) float or int -> (B, dim) float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in fp32, output cast back to input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return y.astype(orig_dtype)
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm in fp32 (optionally affine-free, for adaLN)."""
+
+    use_scale_bias: bool = True
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        y = nn.LayerNorm(
+            epsilon=self.epsilon,
+            use_bias=self.use_scale_bias,
+            use_scale=self.use_scale_bias,
+            dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+def zeros_init():
+    return nn.initializers.zeros
+
+
+class GEGLU(nn.Module):
+    """x W1 * gelu(x W2) (external/sd1/ldm/modules/attention.py:37-44)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        y, gate = jnp.split(h, 2, axis=-1)
+        return y * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """LDM FeedForward with GEGLU gate (attention.py:47-64, glu=True)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = int(self.dim * self.mult)
+        x = GEGLU(inner, dtype=self.dtype, name="geglu")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(x)
+
+
+def dot_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """Multi-head attention core with fp32 softmax.
+
+    q: (B, Nq, H, D), k/v: (B, Nk, H, D) -> (B, Nq, H, D).
+    Batched matmuls map directly onto the MXU; softmax stays in fp32 for
+    numerical parity with the reference's fp32 model.
+    """
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class CrossAttention(nn.Module):
+    """LDM CrossAttention (attention.py:152-193): q from x, kv from context,
+    no qkv bias, output projection with bias; self-attention when context is
+    None."""
+
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None  # informational; kv dims come from input
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        B, Nq, _ = q.shape
+        Nk = k.shape[1]
+        q = q.reshape(B, Nq, self.heads, self.dim_head)
+        k = k.reshape(B, Nk, self.heads, self.dim_head)
+        v = v.reshape(B, Nk, self.heads, self.dim_head)
+        out = dot_attention(q, k, v, self.dim_head**-0.5)
+        out = out.reshape(B, Nq, inner)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
+
+class TimmAttention(nn.Module):
+    """timm ViT attention (qkv fused with bias) used by the DiT blocks
+    (view_attn_efficient2.py:6,52)."""
+
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        dim_head = C // self.heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, self.heads, dim_head)
+        k = k.reshape(B, N, self.heads, dim_head)
+        v = v.reshape(B, N, self.heads, dim_head)
+        out = dot_attention(q, k, v, dim_head**-0.5).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    """timm Mlp: Dense -> GELU -> Dense (view_attn_efficient2.py:57)."""
+
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.float32
+    act: Callable = lambda x: nn.gelu(x, approximate=False)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
