@@ -126,15 +126,26 @@ def make_ddim_timesteps(num_ddim_steps: int, num_ddpm_steps: int, method: str = 
 
 
 def make_ddim_schedule(
-    sched: DDPMSchedule,
+    sched,
     num_steps: int = 50,
     eta: float = 1.0,
     method: str = "uniform",
+    linear_start: float = 0.00085,
+    linear_end: float = 0.0120,
 ) -> DDIMSchedule:
-    """Build the DDIM alpha/sigma tables (mvdfusion/sampler.py:25-39)."""
-    ddpm_T = sched.num_timesteps
+    """Build the DDIM alpha/sigma tables (mvdfusion/sampler.py:25-39).
+
+    `sched` is a DDPMSchedule or an int timestep count. Tables are always
+    recomputed in host numpy so this is safe to call at trace time (jnp
+    arrays inside jit are tracers and cannot seed numpy math).
+    """
+    if isinstance(sched, DDPMSchedule):
+        ddpm_T = sched.num_timesteps
+    else:
+        ddpm_T = int(sched)
     ts = make_ddim_timesteps(num_steps, ddpm_T, method)
-    abar = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    betas = np.linspace(linear_start**0.5, linear_end**0.5, ddpm_T, dtype=np.float64) ** 2
+    abar = np.cumprod(1.0 - betas)
     alphas = abar[ts]
     alphas_prev = np.concatenate([abar[0:1], abar[ts[:-1]]])
     sigmas = eta * np.sqrt((1 - alphas_prev) / (1 - alphas) * (1 - alphas / alphas_prev))

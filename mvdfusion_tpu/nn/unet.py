@@ -1,0 +1,299 @@
+"""The MVD-Fusion UNet: SD-v1 backbone + grafted view-aligned attention.
+
+Independent Flax/NHWC re-design of the reference UNet
+(mvdfusion/unet.py:215-576 over external/sd1 blocks openaimodel.py:91-276 and
+attention.py:195-287), with the two architectural modifications the reference
+makes to stock SD1 (unet.py:409-418, 463-474):
+
+  * a `ViewAlignedFeatureTransformer` after the SpatialTransformer in the
+    middle block, and
+  * one in every attention-bearing output block,
+
+both cross-attending each pixel to its D view-aligned frustum features
+(mvdfusion/attention.py:16-145).
+
+TPU-first choices:
+  * NHWC everywhere; 1x1 convs as Dense; convs 3x3 via nn.Conv (XLA:TPU
+    native conv).
+  * bf16 compute / fp32 params; GroupNorm + softmax in fp32 islands.
+  * Classifier-free guidance is run as ONE batched forward of 2B rather than
+    the reference's two sequential passes (unet.py:192-193) — better MXU
+    utilisation and half the weight traffic from HBM.
+  * The frustum pyramid (unet.py:198-209) is exact average pooling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mvdfusion_tpu.nn.layers import (
+    CrossAttention,
+    Dtype,
+    FeedForward,
+    GroupNorm32,
+    LayerNormFp32,
+    timestep_embedding,
+)
+from mvdfusion_tpu.ops.image import area_downsample, nearest_upsample2x
+
+
+class ResBlock(nn.Module):
+    """openaimodel.py:163-276 ResBlock (no scale-shift, no up/down)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        h = GroupNorm32(name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+        e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        h = h + e[:, None, None, :].astype(h.dtype)
+        h = GroupNorm32(name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), dtype=self.dtype, kernel_init=nn.initializers.zeros, name="conv2"
+        )(h)
+        if in_ch != self.out_channels:
+            x = nn.Dense(self.out_channels, dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class BasicTransformerBlock(nn.Module):
+    """attention.py:195-223: self-attn, cross-attn(context), GEGLU FF."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        x = x + CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
+            LayerNormFp32(name="norm1")(x)
+        )
+        x = x + CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn2")(
+            LayerNormFp32(name="norm2")(x), context
+        )
+        x = x + FeedForward(dim, dtype=self.dtype, name="ff")(LayerNormFp32(name="norm3")(x))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """attention.py:225-287 (use_linear=False: 1x1-conv projections)."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x_in = x
+        h = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        h = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, -1)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(self.heads, self.dim_head, dtype=self.dtype, name=f"block_{d}")(
+                h, context
+            )
+        h = h.reshape(B, H, W, -1)
+        h = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out")(h)
+        return h + x_in
+
+
+class DualAttentionBlock(nn.Module):
+    """mvdfusion/attention.py:16-66: per-view spatial self-attention, then
+    per-pixel 1-query x D-key cross-attention into the frustum, then FF."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, HW, C); context: (B, HW, D, Cc)."""
+        B, N, C = x.shape
+        D = context.shape[2]
+        x = x + CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
+            LayerNormFp32(name="norm1")(x)
+        )
+        # per-pixel cross-attention: fold HW into batch (attention.py:56-62)
+        q = LayerNormFp32(name="norm2")(x).reshape(B * N, 1, C)
+        ctx = context.reshape(B * N, D, context.shape[-1])
+        x = x + CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn2")(q, ctx).reshape(
+            B, N, C
+        )
+        x = x + FeedForward(C, dtype=self.dtype, name="ff")(LayerNormFp32(name="norm3")(x))
+        return x
+
+
+class ViewAlignedFeatureTransformer(nn.Module):
+    """mvdfusion/attention.py:72-145 (use_linear=True path).
+
+    The reference names every parameter `aligned_attn_*` so checkpoint
+    surgery can isolate the grafted layers; here the module name itself
+    (`view_attn`) carries that role for the optimizer masks.
+    """
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, volume: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, C); volume: (B, H, W, D, Cc) frustum at this level."""
+        B, H, W, C = x.shape
+        x_in = x
+        h = GroupNorm32(epsilon=1e-6, name="norm")(x).reshape(B, H * W, C)
+        h = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")(h)
+        ctx = volume.reshape(B, H * W, volume.shape[3], volume.shape[4])
+        for d in range(self.depth):
+            h = DualAttentionBlock(self.heads, self.dim_head, dtype=self.dtype, name=f"block_{d}")(h, ctx)
+        h = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out")(h)
+        return h.reshape(B, H, W, C) + x_in
+
+
+class Downsample(nn.Module):
+    """openaimodel.py:134-161: stride-2 3x3 conv."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # torch Conv2d(stride=2, padding=1) pads symmetrically; XLA 'SAME'
+        # would pad (0,1) here, shifting the grid — pin it explicitly.
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample(nn.Module):
+    """openaimodel.py:91-132: nearest 2x + 3x3 conv."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv")(nearest_upsample2x(x))
+
+
+def volume_pyramid(volume: jnp.ndarray, num_levels: int) -> list[jnp.ndarray]:
+    """Area-downsample the frustum to each UNet resolution (unet.py:198-209).
+
+    volume: (B, H, W, D, C) -> [same, /2, /4, ..., /2^(L-1)].
+    """
+    B, H, W, D, C = volume.shape
+    flat = volume.reshape(B, H, W, D * C)
+    levels = []
+    for i in range(num_levels):
+        levels.append(area_downsample(flat, 2**i).reshape(B, H // 2**i, W // 2**i, D, C))
+    return levels
+
+
+class UNetModel(nn.Module):
+    """View-conditioned SD1 UNet (mvdfusion/unet.py:215-556).
+
+    __call__(x, t, context, volume_levels):
+      x:             (B, H, W, in_channels)  — noisy RGBD latent ++ concat cond
+      t:             (B,) DDPM timesteps
+      context:       (B, M, context_dim) CLIP+pose tokens
+      volume_levels: list of (B, H/2^i, W/2^i, D, context_dim) frusta
+    Returns (B, H, W, out_channels).
+    """
+
+    in_channels: int = 10
+    model_channels: int = 320
+    out_channels: int = 5
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        context: jnp.ndarray,
+        volume_levels: Sequence[jnp.ndarray],
+    ) -> jnp.ndarray:
+        mc = self.model_channels
+        ds_to_level = {1: 0, 2: 1, 4: 2, 8: 3}
+
+        t_emb = timestep_embedding(t, mc)
+        emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_dense1")(t_emb.astype(self.dtype))
+        emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_dense2")(nn.silu(emb))
+
+        x = x.astype(self.dtype)
+        context = context.astype(self.dtype)
+        volume_levels = [v.astype(self.dtype) for v in volume_levels]
+
+        def spatial(name, ch):
+            return SpatialTransformer(
+                self.num_heads, ch // self.num_heads, self.transformer_depth, dtype=self.dtype, name=name
+            )
+
+        def view_attn(name, ch):
+            return ViewAlignedFeatureTransformer(
+                self.num_heads, ch // self.num_heads, self.transformer_depth, dtype=self.dtype, name=name
+            )
+
+        # ---- input blocks (stock SD1; no view attention on the way down) --
+        h = nn.Conv(mc, (3, 3), dtype=self.dtype, name="conv_in")(x)
+        hs = [h]
+        ch = mc
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                ch = mult * mc
+                h = ResBlock(ch, dtype=self.dtype, name=f"down_{level}_res_{i}")(h, emb)
+                if ds in self.attention_resolutions:
+                    h = spatial(f"down_{level}_attn_{i}", ch)(h, context)
+                hs.append(h)
+            if level != len(self.channel_mult) - 1:
+                h = Downsample(ch, dtype=self.dtype, name=f"down_{level}_downsample")(h)
+                hs.append(h)
+                ds *= 2
+
+        # ---- middle block: Res, Spatial, ViewAligned (graft), Res ---------
+        h = ResBlock(ch, dtype=self.dtype, name="mid_res_0")(h, emb)
+        h = spatial("mid_attn", ch)(h, context)
+        h = view_attn("mid_view_attn", ch)(h, volume_levels[ds_to_level[ds]])
+        h = ResBlock(ch, dtype=self.dtype, name="mid_res_1")(h, emb)
+
+        # ---- output blocks: Res [+ Spatial + ViewAligned graft] [+ Up] ----
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                ch = mult * mc
+                h = ResBlock(ch, dtype=self.dtype, name=f"up_{level}_res_{i}")(h, emb)
+                if ds in self.attention_resolutions:
+                    h = spatial(f"up_{level}_attn_{i}", ch)(h, context)
+                    h = view_attn(f"up_{level}_view_attn_{i}", ch)(h, volume_levels[ds_to_level[ds]])
+                if level and i == self.num_res_blocks:
+                    h = Upsample(ch, dtype=self.dtype, name=f"up_{level}_upsample")(h)
+                    ds //= 2
+
+        h = GroupNorm32(name="norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels,
+            (3, 3),
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            name="conv_out",
+        )(h)
+        return h.astype(jnp.float32)

@@ -1,0 +1,216 @@
+"""Depth-guided cross-view attention (GridAttn) — the MVD-Fusion novelty.
+
+Independent Flax re-design of mvdfusion/view_attn_efficient2.py:96-442.
+Per denoising step:
+
+  1. Unbias the noisy latent's depth channel by 1/sqrt(abar_t) and jitter it
+     with sigma = sqrt(1-abar)/sqrt(abar)/10 (reference :417-431).
+  2. Map to metric depth, shoot one ray per latent pixel at those depths,
+     unproject to world points (:279-293).
+  3. Reproject every point into all V views and the input view; bilinearly
+     gather embedded latent features (:302-331).
+  4. Concatenate [view feats | input feats | reference plucker | reference
+     depth | query plucker | query depth | predict mask] into per-point
+     V-axis token sequences (:333-370).
+  5. Run a 3-layer adaLN-Zero DiT across the V axis, softmax-pool, and
+     project to a (B, H, W, D, 768) feature frustum (:389-408).
+
+TPU-first notes: everything is NHWC + static shapes; the gather is the
+vectorised grid_sample from geometry/ (a fused Pallas path lives in ops/);
+tokens are built directly in (tokens, V, C) layout so the V-axis attention
+is one big batched MXU matmul.
+
+Dead reference code intentionally not reproduced (SURVEY.md §2.1): the cube/
+voxel-grid remnants, RayEmbedder/TimestepEmbedder members unused by forward,
+index_features, ModulatedLinearBlock.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mvdfusion_tpu.core.schedule import DDPMSchedule
+from mvdfusion_tpu.geometry.cameras import Cameras, camera_center, transform_points_ndc
+from mvdfusion_tpu.geometry.gridsample import grid_sample
+from mvdfusion_tpu.geometry.harmonics import harmonic_embed, harmonic_output_dim
+from mvdfusion_tpu.geometry.rays import pixel_rays, plucker_coords, rays_to_points
+from mvdfusion_tpu.nn.layers import Dtype, LayerNormFp32, Mlp, TimmAttention
+
+
+def _modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return x * (1 + scale[:, None]) + shift[:, None]
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero DiT block (view_attn_efficient2.py:42-67); modulation MLP
+    zero-initialised so the block starts as identity (:171-176)."""
+
+    heads: int
+    mlp_ratio: float = 2.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        """x: (N, V, C) tokens; c: (1 or N, C) conditioning."""
+        C = x.shape[-1]
+        mod = nn.Dense(
+            6 * C,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="adaLN",
+        )(nn.silu(c))
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
+        h = _modulate(LayerNormFp32(use_scale_bias=False, epsilon=1e-6, name="norm1")(x), sh_a, sc_a)
+        x = x + g_a[:, None] * TimmAttention(self.heads, dtype=self.dtype, name="attn")(h)
+        h = _modulate(LayerNormFp32(use_scale_bias=False, epsilon=1e-6, name="norm2")(x), sh_m, sc_m)
+        x = x + g_m[:, None] * Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(h)
+        return x
+
+
+class AggregationTransformer(nn.Module):
+    """Stack of DiT blocks + scalar weighting head (:70-93)."""
+
+    heads: int
+    num_layers: int = 3
+    mlp_ratio: float = 2.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray):
+        for i in range(self.num_layers):
+            x = DiTBlock(self.heads, self.mlp_ratio, dtype=self.dtype, name=f"block_{i}")(x, c)
+        w = nn.Dense(1, dtype=self.dtype, name="weight_layer")(x)
+        return x, w
+
+
+class GridAttn(nn.Module):
+    """Cross-view feature-frustum builder (view_attn_efficient2.py:96-442)."""
+
+    input_size: int = 32
+    in_channels: int = 5
+    hidden_size: int = 256
+    output_dim: int = 768
+    num_heads: int = 8
+    mlp_ratio: float = 2.0
+    num_layers: int = 3
+    depth_scale: float = 2.0
+    depth_shift: float = 0.5
+    n_pts_per_ray: int = 1
+    n_harmonic: int = 7
+    omega0: float = 0.1
+    keep_top_k_views: bool = False
+    top_k: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        noisy_latents: jnp.ndarray,  # (B, H, W, 5) NHWC
+        batch_cameras: Cameras,  # V == B target-view cameras
+        predict_mask: jnp.ndarray,  # (B,)
+        t_embed: jnp.ndarray,  # (B, hidden) — only [0:1] is used (shared t)
+        t: jnp.ndarray,  # (B,) int timesteps
+        sched: DDPMSchedule,
+        input_latents: jnp.ndarray,  # (1, H, W, 5)
+        input_cameras: Cameras,  # single input camera
+        rng: jax.Array,  # depth-jitter noise key
+        overwrite_attn_depth: Optional[jnp.ndarray] = None,  # (B, H, W, 1)
+    ) -> jnp.ndarray:
+        B, H, W, C_in = noisy_latents.shape
+        D = self.n_pts_per_ray
+        V = B
+
+        # ---- 1. unbiased depth estimate + jitter (:417-431) ---------------
+        sqrt_acp = sched.sqrt_alphas_cumprod[t]  # (B,)
+        depth_std = (sched.sqrt_one_minus_alphas_cumprod[t] / sqrt_acp / 10.0)[:, None, None, None]
+        if overwrite_attn_depth is None:
+            depth = noisy_latents[..., 4:5] / sqrt_acp[:, None, None, None]
+        else:
+            depth = overwrite_attn_depth
+        depth = jnp.broadcast_to(depth, (B, H, W, D))
+        depth = depth + depth_std * jax.random.normal(rng, (B, H, W, D), depth.dtype)
+        # unnormalize clips to [0,1] (common_utils.py:66-70), then metric map
+        depth = jnp.clip((depth + 1.0) * 0.5, 0.0, 1.0) * self.depth_scale + self.depth_shift
+
+        # ---- 2. rays and world points (:279-293) --------------------------
+        rays = pixel_rays(batch_cameras, H, W)
+        pts = rays_to_points(rays, depth)  # (B, H, W, D, 3)
+        pts_flat = pts.reshape(1, B * H * W * D, 3)
+        N = B * H * W * D
+
+        # ---- 3. embed latents and gather (:310-331, :434-437) -------------
+        z_embed = nn.Sequential(
+            [nn.Dense(self.hidden_size, dtype=self.dtype), lambda a: nn.gelu(a, approximate=False)],
+            name="z_embedder",
+        )
+        view_feat = z_embed(noisy_latents.astype(self.dtype))  # (V, H, W, hid)
+        input_feat = z_embed(input_latents.astype(self.dtype))  # (1, H, W, hid)
+
+        ndc_all = transform_points_ndc(batch_cameras, pts_flat)  # (V, N, 3)
+        # negated-xy grid convention (:310-316)
+        ref_feats = grid_sample(view_feat, -ndc_all[..., :2])  # (V, N, hid)
+        ndc_in = transform_points_ndc(input_cameras, pts_flat)  # (1, N, 3)
+        in_feats = grid_sample(input_feat, -ndc_in[..., :2])  # (1, N, hid)
+
+        # ---- 4. geometric embeddings (:333-361) ----------------------------
+        hembed = lambda a: harmonic_embed(a, self.n_harmonic, self.omega0)
+        centers = camera_center(batch_cameras)  # (V, 3)
+        ref_dir = pts_flat[0][None] - centers[:, None]  # (V, N, 3)
+        ref_depth = jnp.linalg.norm(ref_dir, axis=-1, keepdims=True)
+        ref_depth_e = hembed(ref_depth)  # (V, N, 15)
+        ref_dir = ref_dir / jnp.maximum(jnp.linalg.norm(ref_dir, axis=-1, keepdims=True), 1e-12)
+        ref_plucker = hembed(plucker_coords(centers[:, None], ref_dir))  # (V, N, 90)
+
+        q_dir = rays.directions / jnp.maximum(
+            jnp.linalg.norm(rays.directions, axis=-1, keepdims=True), 1e-12
+        )  # (B, H, W, 3)
+        q_dir = jnp.broadcast_to(q_dir[:, :, :, None, :], (B, H, W, D, 3)).reshape(1, N, 3)
+        q_origin = jnp.broadcast_to(centers[:, None, None, None, :], (B, H, W, D, 3)).reshape(1, N, 3)
+        q_plucker = hembed(plucker_coords(q_origin, q_dir))  # (1, N, 90)
+        q_depth_e = hembed(depth.reshape(1, N, 1))  # (1, N, 15)
+
+        # ---- 5. token build in (N, V, C) layout (:363-370) -----------------
+        dt = self.dtype
+        bcast = lambda a: jnp.broadcast_to(a, (V,) + a.shape[1:])
+        mask_tok = jnp.broadcast_to(predict_mask[:, None, None].astype(dt), (V, N, 1))
+        z = jnp.concatenate(
+            [
+                ref_feats.astype(dt),
+                bcast(in_feats).astype(dt),
+                ref_plucker.astype(dt),
+                ref_depth_e.astype(dt),
+                bcast(q_plucker).astype(dt),
+                bcast(q_depth_e).astype(dt),
+                mask_tok,
+            ],
+            axis=-1,
+        )  # (V, N, 723)
+
+        if self.keep_top_k_views:
+            # static window of top_k+1 nearest views by index, wrapping (:375-384)
+            offsets = jnp.arange(-(self.top_k // 2), self.top_k // 2 + 1)
+            # per-query-view row of source views; queries are laid out b-major
+            view_of_token = jnp.arange(N) // (H * W * D)  # (N,)
+            idx = (view_of_token[None, :] + offsets[:, None]) % V  # (K+1, N)
+            z = jnp.take_along_axis(z, idx[:, :, None], axis=0)
+
+        tokens = jnp.swapaxes(z, 0, 1)  # (N, V', 723)
+
+        # ---- 6. aggregate across views (:389-408) ---------------------------
+        tokens = nn.Sequential(
+            [nn.Dense(self.hidden_size, dtype=dt), lambda a: nn.gelu(a, approximate=False)],
+            name="pre_layer",
+        )(tokens)
+        c = t_embed[:1].astype(dt)  # shared-t conditioning (:438)
+        out, w = AggregationTransformer(
+            self.num_heads, self.num_layers, self.mlp_ratio, dtype=dt, name="aggregator"
+        )(tokens, c)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-2).astype(dt)
+        pooled = (out * w).sum(axis=-2)  # (N, hid)
+        frustum = nn.Dense(self.output_dim, dtype=dt, name="final_layer")(pooled)
+        return frustum.reshape(B, H, W, D, self.output_dim)

@@ -1,0 +1,94 @@
+"""Jitted DDIM sampling loop.
+
+Replaces the reference's Python-loop sampler (mvdfusion/sampler.py:90-148,
+tqdm over 50 steps with a host round-trip per step) with a single
+`lax.scan`-compiled program: the latent buffer is donated through the scan
+carry, PRNG keys are threaded functionally, and the whole 50-step trajectory
+compiles to one XLA executable.
+
+Reference semantics: eta=1.0 stochastic DDIM, shared timestep across views,
+`prev_depth` (pred_x0's depth channel) optionally fed to the next step's
+GridAttn (sampler.py:139-140, feed_prev_depth).
+
+Known divergence: with feed_prev_depth=True the reference's FIRST step uses
+the unbiased noisy-depth estimate (prev_depth starts None, sampler.py:116);
+here the first step seeds prev_depth from the input latent's (zeroed) depth
+channel to keep the scan branch-free. All shipped configs run
+feed_prev_depth=False, where behavior is identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mvdfusion_tpu.core.schedule import DDIMSchedule, ddim_step, make_ddim_schedule
+from mvdfusion_tpu.geometry.cameras import Cameras
+from mvdfusion_tpu.nn.viewfusion import ViewFusion
+
+
+class SampleResult(NamedTuple):
+    latents: jnp.ndarray  # (B, H, W, C) final x_0-level sample
+    pred_x0_trajectory: jnp.ndarray  # (S, B, H, W, C)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "num_steps", "eta", "feed_prev_depth", "return_trajectory"),
+)
+def ddim_sample(
+    params,
+    model: ViewFusion,
+    batch_cameras: Cameras,
+    input_latents: jnp.ndarray,  # (1, h, w, 5)
+    input_cameras: Cameras,
+    clip_v_embed: jnp.ndarray,  # (B, 1, ctx+28)
+    rng: jax.Array,
+    cfg_scale: jnp.ndarray,
+    num_steps: int = 50,
+    eta: float = 1.0,
+    feed_prev_depth: bool = False,
+    return_trajectory: bool = False,
+) -> SampleResult:
+    """Generate B views of 5-channel (RGB-D) latents."""
+    cfg = model.cfg
+    B = clip_v_embed.shape[0]
+    H = W = cfg.latent_size
+    C = cfg.unet_out_channels
+
+    ddim: DDIMSchedule = make_ddim_schedule(cfg.timesteps, num_steps, eta=eta)
+
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, (B, H, W, C))
+    prev_depth0 = input_latents[..., 4:5] * jnp.ones((B, H, W, 1))
+
+    def step(carry, i):
+        x, prev_depth, rng = carry
+        index = num_steps - 1 - i
+        tstep = ddim.timesteps[index]
+        t = jnp.full((B,), tstep, jnp.int32)
+        rng, k_attn, k_noise = jax.random.split(rng, 3)
+        noise_pred = model.apply(
+            params,
+            x,
+            batch_cameras,
+            input_latents,
+            input_cameras,
+            clip_v_embed,
+            t,
+            k_attn,
+            cfg_scale,
+            prev_depth=prev_depth if feed_prev_depth else None,
+            method=ViewFusion.apply_model_cfg,
+        )
+        z = jax.random.normal(k_noise, x.shape)
+        x_prev, pred_x0 = ddim_step(ddim, x, noise_pred, index, z)
+        new_depth = pred_x0[..., 4:5]
+        out = pred_x0 if return_trajectory else jnp.zeros((), x.dtype)
+        return (x_prev, new_depth, rng), out
+
+    (x, _, _), traj = jax.lax.scan(step, (x, prev_depth0, rng), jnp.arange(num_steps))
+    return SampleResult(latents=x, pred_x0_trajectory=traj)

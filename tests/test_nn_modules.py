@@ -1,0 +1,116 @@
+"""Shape/sanity tests for the Flax towers on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvdfusion_tpu.core import make_ddpm_schedule
+from mvdfusion_tpu.geometry import look_at_view_transform, make_cameras
+from mvdfusion_tpu.nn.unet import UNetModel, volume_pyramid
+from mvdfusion_tpu.nn.vae import AutoencoderKL
+from mvdfusion_tpu.nn.clip import CLIPImageTower, clip_preprocess
+from mvdfusion_tpu.nn.viewattn import GridAttn
+
+
+def _cams(n, dist=1.5):
+    azim = np.linspace(0, 337.5, n)
+    R, T = look_at_view_transform(dist=dist, elev=30.0, azim=azim + 90.0)
+    return make_cameras(R, T, focal_length=(2.1875, 2.1875))
+
+
+def test_unet_tiny_shapes():
+    model = UNetModel(
+        in_channels=10, model_channels=32, out_channels=5, num_res_blocks=1,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=4, context_dim=96,
+    )
+    B, H = 2, 16
+    x = jnp.zeros((B, H, H, 10))
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jnp.zeros((B, 1, 96))
+    vol = jnp.zeros((B, H, H, 1, 96))
+    levels = volume_pyramid(vol, 4)
+    assert [v.shape[1] for v in levels] == [16, 8, 4, 2]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, ctx, levels)
+    out = jax.jit(model.apply)(params, x, t, ctx, levels)
+    assert out.shape == (B, H, H, 5)
+    # zero-init final conv + zero input -> zero output
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_unet_param_count_full_size():
+    """Full-size UNet should land near SD1's ~860M + grafted layers."""
+    model = UNetModel()
+    x = jnp.zeros((1, 32, 32, 10))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 1, 768))
+    levels = volume_pyramid(jnp.zeros((1, 32, 32, 1, 768)), 4)
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, t, ctx, levels))
+    n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+    assert 0.9e9 < n < 1.3e9, n  # 860M SD1 + ~200M aligned-attn grafts
+
+
+def test_vae_tiny_roundtrip_shapes():
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = jax.jit(vae.init)(jax.random.PRNGKey(0), x)
+    z = jax.jit(lambda p, a: vae.apply(p, a, method=AutoencoderKL.encode_mode))(params, x)
+    assert z.shape == (2, 16, 16, 4)
+    y = jax.jit(lambda p, a: vae.apply(p, a, method=AutoencoderKL.decode))(params, z)
+    assert y.shape == (2, 32, 32, 3)
+
+
+def test_clip_tower_tiny():
+    tower = CLIPImageTower(width=64, layers=2, heads=2, patch_size=14, output_dim=48)
+    x = jnp.zeros((2, 224, 224, 3))
+    params = jax.jit(tower.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(tower.apply)(params, x)
+    assert out.shape == (2, 48)
+
+
+def test_clip_preprocess_range():
+    x = jnp.ones((1, 64, 64, 3)) * 0.5
+    y = clip_preprocess(x)
+    assert y.shape == (1, 224, 224, 3)
+    # 0.5 input -> (0.5+1)/2 = 0.75 -> (0.75 - mean)/std
+    np.testing.assert_allclose(
+        np.asarray(y[0, 100, 100]), (0.75 - np.array([0.48145466, 0.4578275, 0.40821073])) / np.array([0.26862954, 0.26130258, 0.27577711]), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("n_pts", [1, 2])
+def test_gridattn_shapes(n_pts):
+    B, H = 4, 8
+    ga = GridAttn(input_size=H, hidden_size=32, output_dim=48, num_heads=4, num_layers=2, n_pts_per_ray=n_pts)
+    sched = make_ddpm_schedule(100)
+    cams = _cams(B)
+    in_cam = _cams(1)
+    noisy = jnp.zeros((B, H, H, 5))
+    inp = jnp.zeros((1, H, H, 5))
+    t = jnp.full((B,), 50, jnp.int32)
+    t_embed = jnp.zeros((B, 32))
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(ga.init)(
+        jax.random.PRNGKey(1), noisy, cams, jnp.ones((B,)), t_embed, t, sched, inp, in_cam, rng
+    )
+    out = jax.jit(ga.apply)(params, noisy, cams, jnp.ones((B,)), t_embed, t, sched, inp, in_cam, rng)
+    assert out.shape == (B, H, H, n_pts, 48)
+
+
+def test_gridattn_topk():
+    B, H = 6, 4
+    ga = GridAttn(
+        input_size=H, hidden_size=32, output_dim=16, num_heads=4, num_layers=1,
+        n_pts_per_ray=1, keep_top_k_views=True, top_k=4,
+    )
+    sched = make_ddpm_schedule(100)
+    cams = _cams(B)
+    in_cam = _cams(1)
+    noisy = jnp.zeros((B, H, H, 5))
+    inp = jnp.zeros((1, H, H, 5))
+    t = jnp.full((B,), 50, jnp.int32)
+    t_embed = jnp.zeros((B, 32))
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(ga.init)(jax.random.PRNGKey(1), noisy, cams, jnp.ones((B,)), t_embed, t, sched, inp, in_cam, rng)
+    out = jax.jit(ga.apply)(params, noisy, cams, jnp.ones((B,)), t_embed, t, sched, inp, in_cam, rng)
+    assert out.shape == (B, H, H, 1, 16)
