@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
+    p.add_argument(
+        "--profile", default=None, help="write a jax.profiler trace of steps 10-13 to this dir"
+    )
     return p.parse_args(argv)
 
 
@@ -103,10 +106,24 @@ def main(argv=None):
         payload = restore_checkpoint(
             latest, {"params": state.params, "opt_state": state.opt_state, "step": 0, "epoch": 0}
         )
+        # re-place restored leaves on the mesh shardings of the live state —
+        # restored arrays land on the default device, and one jit cannot mix
+        # single-device and mesh-sharded arguments
+        replicated = NamedSharding(mesh, P())
+
+        def _placement(ref_leaf):
+            s = getattr(ref_leaf, "sharding", None)
+            return s if isinstance(s, NamedSharding) else replicated
+
+        ref_flat, treedef = jax.tree.flatten(state.opt_state)
+        new_flat = jax.tree.leaves(payload["opt_state"])
+        opt_state = jax.tree.unflatten(
+            treedef, [jax.device_put(n, _placement(r)) for n, r in zip(new_flat, ref_flat)]
+        )
         state = TrainState(
             params=jax.device_put(payload["params"], p_shard),
-            opt_state=payload["opt_state"],
-            step=jnp.asarray(payload["step"], jnp.int32),
+            opt_state=opt_state,
+            step=jax.device_put(jnp.asarray(payload["step"], jnp.int32), NamedSharding(mesh, P())),
         )
         start_step, start_epoch = int(payload["step"]), int(payload["epoch"])
 
@@ -143,15 +160,30 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + 1)
     print_interval = int(saver.get("print_interval", 100))
     save_interval = int(saver.get("save_interval", 2000))
+    loss_interval = int(saver.get("loss_interval", print_interval))
+    loss_dir = os.path.join(saver.get("exp_dir", "runs/"), saver.get("loss_dir", "loss/"))
+    loss_history = []
     step = start_step
     t_last = time.time()
+    from mvdfusion_tpu.data.prefetch import PrefetchIterator
+
     for epoch in range(start_epoch, epochs):
-        for scene_ids in sampler.epoch(epoch):
-            batch = make_batch(scene_ids)
+        # background host decode overlaps device steps (prefetch.py)
+        for batch in PrefetchIterator(sampler.epoch(epoch), make_batch, depth=2):
             rng, krun = jax.random.split(rng)
+            if args.profile and step - start_step == 10:
+                jax.profiler.start_trace(args.profile)
             state, loss = train_step(state, batch, krun)
             step += 1
+            if args.profile and step - start_step == 13:
+                jax.profiler.stop_trace()
+                print(f"[train] profiler trace written to {args.profile}")
             meter.update(float(loss))
+            if step % loss_interval == 0:
+                loss_history.append(meter.avg)
+                from mvdfusion_tpu.utils.vis import save_loss_plot
+
+                save_loss_plot(os.path.join(loss_dir, "loss.png"), loss_history, loss_interval)
             if step % print_interval == 0:
                 dt = (time.time() - t_last) / print_interval
                 t_last = time.time()

@@ -264,7 +264,8 @@ def viewattn_mapping(cfg: ViewFusionConfig, prefix: str = "") -> Dict[Path, Entr
     ray_embedder members are intentionally unmapped."""
     t: Dict[Path, Entry] = {}
     _dense(t, ("z_embedder", "layers_0"), prefix + "z_embedder.0")
-    _dense(t, ("pre_layer", "layers_0"), prefix + "pre_layer_b.0")
+    # the factorized projector holds the pre_layer_b Linear verbatim
+    _dense(t, ("pre_layer",), prefix + "pre_layer_b.0")
     for i in range(cfg.viewattn_layers):
         b: Path = ("aggregator", f"block_{i}")
         tb = f"{prefix}aggregation_transformer.layer_list.{i}"

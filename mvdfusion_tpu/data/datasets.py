@@ -28,6 +28,20 @@ from mvdfusion_tpu.data.rigs import (
 )
 
 
+def _native_batch(paths, size: int, white_composite: bool, channels: int = 3):
+    """Decode via the C++ loader when built; None -> caller falls back."""
+    try:
+        from mvdfusion_tpu import native
+
+        if native.available():
+            return native.decode_batch(
+                paths, size, size, channels, white_composite=white_composite, n_threads=4
+            )
+    except Exception:
+        pass
+    return None
+
+
 def _imread(path: str) -> np.ndarray:
     """Read an image to float32 [0,1] (H, W, C)."""
     try:
@@ -92,10 +106,14 @@ class GSO:
 
     def __getitem__(self, index: int) -> dict:
         scene_dir = os.path.join(self.root, self.scenes[index])
-        imgs = []
-        for i in range(self.n_views):
-            rgba = _resize(_imread(os.path.join(scene_dir, f"{i:03d}.png")), self.image_size)
-            imgs.append(_composite_white(rgba))
+        paths = [os.path.join(scene_dir, f"{i:03d}.png") for i in range(self.n_views)]
+        batch = _native_batch(paths, self.image_size, white_composite=True)
+        if batch is not None:
+            imgs = list(batch)
+        else:
+            imgs = [
+                _composite_white(_resize(_imread(p), self.image_size)) for p in paths
+            ]
         return {
             "index": index,
             "idx": self.scenes[index],
@@ -184,15 +202,29 @@ class Objaverse:
     def __getitem__(self, index: int) -> dict:
         scene_dir = os.path.join(self.root, self.subset, self.scenes[index], "views")
         idxs = OBJAVERSE_TRAIN_RING if self.fix_elevation else np.arange(64)
-        imgs, depths, masks = [], [], []
-        for i in idxs:
-            imgs.append(_resize(_imread(os.path.join(scene_dir, f"{i:03d}_rgb.jpg"))[..., :3], self.image_size))
-            if self.load_depth or self.load_mask:
-                d = _resize(_imread(os.path.join(scene_dir, f"{i:03d}_depth.png")), self.image_size)
-                depths.append(d[..., :1])
-            if self.load_mask:
-                m = _resize(_imread(os.path.join(scene_dir, f"{i:03d}_mask.jpg")), self.image_size)
-                masks.append(m[..., :1])
+        rgb_paths = [os.path.join(scene_dir, f"{i:03d}_rgb.jpg") for i in idxs]
+        batch = _native_batch(rgb_paths, self.image_size, white_composite=False)
+        if batch is not None:
+            imgs = list(batch)
+        else:
+            imgs = [_resize(_imread(p)[..., :3], self.image_size) for p in rgb_paths]
+        depths, masks = [], []
+        if self.load_depth or self.load_mask:
+            d_paths = [os.path.join(scene_dir, f"{i:03d}_depth.png") for i in idxs]
+            dbatch = _native_batch(d_paths, self.image_size, white_composite=False, channels=1)
+            if dbatch is not None:
+                depths = list(dbatch)
+            else:
+                depths = [
+                    _resize(_imread(p), self.image_size)[..., :1] for p in d_paths
+                ]
+        if self.load_mask:
+            masks = [
+                _resize(_imread(os.path.join(scene_dir, f"{i:03d}_mask.jpg")), self.image_size)[
+                    ..., :1
+                ]
+                for i in idxs
+            ]
         out = {
             "index": index,
             "idx": self.scenes[index],

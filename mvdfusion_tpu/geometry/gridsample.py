@@ -57,3 +57,50 @@ def grid_sample(features: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     Returns (B, N, C).
     """
     return jax.vmap(_sample_one)(features, xy)
+
+
+def _bilinear_weights(xy: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Dense (N, H*W) interpolation matrix with 4 non-zeros per row."""
+    x = jnp.clip((xy[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+    y = jnp.clip((xy[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    ix0 = jnp.floor(x)
+    iy0 = jnp.floor(y)
+    tx = (x - ix0)[:, None]
+    ty = (y - iy0)[:, None]
+    ix0 = ix0.astype(jnp.int32)
+    iy0 = iy0.astype(jnp.int32)
+    ix1 = jnp.minimum(ix0 + 1, W - 1)
+    iy1 = jnp.minimum(iy0 + 1, H - 1)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, H * W), 1)
+
+    def corner(iy, ix, w):
+        return jnp.where(p == (iy * W + ix)[:, None], w, 0.0)
+
+    Wm = (
+        corner(iy0, ix0, (1 - tx) * (1 - ty))
+        + corner(iy0, ix1, tx * (1 - ty))
+        + corner(iy1, ix0, (1 - tx) * ty)
+        + corner(iy1, ix1, tx * ty)
+    )
+    return Wm
+
+
+def grid_sample_mxu(features: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """grid_sample as a dense one-hot matmul — the TPU-fast path.
+
+    Same semantics/signature as `grid_sample`, but expressed as
+    (N, H*W) @ (H*W, C): bilinear weights become a 4-sparse row matrix built
+    with iota comparisons (VPU) and the contraction rides the MXU. On TPU
+    this beats the gather lowering whenever H*W is small (the 32x32 latent
+    grids of this model); FLOP cost is 2*N*H*W*C per map, ~4 GFLOP at
+    inference shapes — noise next to the UNet.
+    """
+    B, H, W, C = features.shape
+
+    def one(feat, coords):
+        Wm = _bilinear_weights(coords, H, W).astype(feat.dtype)
+        return jnp.dot(Wm, feat.reshape(H * W, C), preferred_element_type=jnp.float32).astype(
+            feat.dtype
+        )
+
+    return jax.vmap(one)(features, xy)

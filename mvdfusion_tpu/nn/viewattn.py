@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from mvdfusion_tpu.core.schedule import DDPMSchedule
 from mvdfusion_tpu.geometry.cameras import Cameras, camera_center, transform_points_ndc
-from mvdfusion_tpu.geometry.gridsample import grid_sample
+from mvdfusion_tpu.geometry.gridsample import grid_sample, grid_sample_mxu
 from mvdfusion_tpu.geometry.harmonics import harmonic_embed, harmonic_output_dim
 from mvdfusion_tpu.geometry.rays import pixel_rays, plucker_coords, rays_to_points
 from mvdfusion_tpu.nn.layers import Dtype, LayerNormFp32, Mlp, TimmAttention
@@ -88,6 +88,44 @@ class AggregationTransformer(nn.Module):
         return x, w
 
 
+class FactorizedTokenProjector(nn.Module):
+    """Linear(concat(parts)) computed as a sum of per-part matmuls.
+
+    Holds ONE (sum(dims), hidden) kernel — bit-identical parameters to the
+    reference's pre_layer_b Linear (view_attn_efficient2.py:158) — sliced by
+    part at apply time. Parts are keyed by their position in the reference's
+    concat order; `v_parts` vary per source view (V, N, d), `b_parts` are
+    view-invariant (1, N, d) and summed separately so they broadcast late.
+    """
+
+    hidden: int
+    dims: tuple
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, v_parts: dict, b_parts: dict):
+        total = sum(self.dims)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (total, self.hidden), jnp.float32
+        ).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.hidden,), jnp.float32).astype(
+            self.dtype
+        )
+        offsets = [0]
+        for d in self.dims:
+            offsets.append(offsets[-1] + d)
+
+        def project(parts):
+            acc = None
+            for i, p in parts.items():
+                k = kernel[offsets[i] : offsets[i + 1]]
+                y = jnp.dot(p, k, preferred_element_type=jnp.float32).astype(self.dtype)
+                acc = y if acc is None else acc + y
+            return acc
+
+        return project(v_parts), project(b_parts) + bias
+
+
 class GridAttn(nn.Module):
     """Cross-view feature-frustum builder (view_attn_efficient2.py:96-442)."""
 
@@ -106,6 +144,7 @@ class GridAttn(nn.Module):
     keep_top_k_views: bool = False
     top_k: int = 4
     dtype: Dtype = jnp.float32
+    sampling: str = "mxu"  # "mxu" (one-hot matmul, TPU-fast) | "gather"
 
     @nn.compact
     def __call__(
@@ -151,11 +190,12 @@ class GridAttn(nn.Module):
         view_feat = z_embed(noisy_latents.astype(self.dtype))  # (V, H, W, hid)
         input_feat = z_embed(input_latents.astype(self.dtype))  # (1, H, W, hid)
 
+        sample = grid_sample_mxu if self.sampling == "mxu" else grid_sample
         ndc_all = transform_points_ndc(batch_cameras, pts_flat)  # (V, N, 3)
         # negated-xy grid convention (:310-316)
-        ref_feats = grid_sample(view_feat, -ndc_all[..., :2])  # (V, N, hid)
+        ref_feats = sample(view_feat, -ndc_all[..., :2])  # (V, N, hid)
         ndc_in = transform_points_ndc(input_cameras, pts_flat)  # (1, N, 3)
-        in_feats = grid_sample(input_feat, -ndc_in[..., :2])  # (1, N, hid)
+        in_feats = sample(input_feat, -ndc_in[..., :2])  # (1, N, hid)
 
         # ---- 4. geometric embeddings (:333-361) ----------------------------
         hembed = lambda a: harmonic_embed(a, self.n_harmonic, self.omega0)
@@ -174,38 +214,38 @@ class GridAttn(nn.Module):
         q_plucker = hembed(plucker_coords(q_origin, q_dir))  # (1, N, 90)
         q_depth_e = hembed(depth.reshape(1, N, 1))  # (1, N, 15)
 
-        # ---- 5. token build in (N, V, C) layout (:363-370) -----------------
+        # ---- 5+6a. factorized token projection (:363-370 + pre_layer_b) ----
+        # The reference concatenates 7 feature groups into a (V, N, 723)
+        # token tensor and then applies Linear(723 -> hidden). Linear of a
+        # concat == sum of linears of the parts, so we never materialise the
+        # concat: the V-varying parts (view feats / ref plucker / ref depth /
+        # mask) and the V-invariant parts (input feats / query plucker /
+        # query depth) are projected separately and summed. At the 512^2
+        # stretch resolution this removes a multi-GB intermediate plus its
+        # (V, N) -> (N, V) transpose; the projection FLOPs are unchanged.
         dt = self.dtype
-        bcast = lambda a: jnp.broadcast_to(a, (V,) + a.shape[1:])
+        proj = FactorizedTokenProjector(
+            hidden=self.hidden_size,
+            dims=(self.hidden_size, self.hidden_size, 90, 15, 90, 15, 1),
+            dtype=dt,
+            name="pre_layer",
+        )
         mask_tok = jnp.broadcast_to(predict_mask[:, None, None].astype(dt), (V, N, 1))
-        z = jnp.concatenate(
-            [
-                ref_feats.astype(dt),
-                bcast(in_feats).astype(dt),
-                ref_plucker.astype(dt),
-                ref_depth_e.astype(dt),
-                bcast(q_plucker).astype(dt),
-                bcast(q_depth_e).astype(dt),
-                mask_tok,
-            ],
-            axis=-1,
-        )  # (V, N, 723)
+        acc_v, acc_b = proj(
+            v_parts={0: ref_feats.astype(dt), 2: ref_plucker.astype(dt), 3: ref_depth_e.astype(dt), 6: mask_tok},
+            b_parts={1: in_feats.astype(dt), 4: q_plucker.astype(dt), 5: q_depth_e.astype(dt)},
+        )  # (V, N, hid), (1, N, hid)
 
         if self.keep_top_k_views:
-            # static window of top_k+1 nearest views by index, wrapping (:375-384)
+            # static window of top_k+1 nearest views by index, wrapping
+            # (:375-384); only the V-varying projection needs the gather
             offsets = jnp.arange(-(self.top_k // 2), self.top_k // 2 + 1)
-            # per-query-view row of source views; queries are laid out b-major
-            view_of_token = jnp.arange(N) // (H * W * D)  # (N,)
+            view_of_token = jnp.arange(N) // (H * W * D)  # tokens are b-major
             idx = (view_of_token[None, :] + offsets[:, None]) % V  # (K+1, N)
-            z = jnp.take_along_axis(z, idx[:, :, None], axis=0)
+            acc_v = jnp.take_along_axis(acc_v, idx[:, :, None], axis=0)
 
-        tokens = jnp.swapaxes(z, 0, 1)  # (N, V', 723)
-
-        # ---- 6. aggregate across views (:389-408) ---------------------------
-        tokens = nn.Sequential(
-            [nn.Dense(self.hidden_size, dtype=dt), lambda a: nn.gelu(a, approximate=False)],
-            name="pre_layer",
-        )(tokens)
+        tokens = jnp.swapaxes(acc_v + acc_b, 0, 1)  # (N, V', hid)
+        tokens = nn.gelu(tokens, approximate=False)
         c = t_embed[:1].astype(dt)  # shared-t conditioning (:438)
         out, w = AggregationTransformer(
             self.num_heads, self.num_layers, self.mlp_ratio, dtype=dt, name="aggregator"

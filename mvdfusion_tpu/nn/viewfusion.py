@@ -176,6 +176,19 @@ class ViewFusion(nn.Module):
         x = self.vae.decode(z / self.cfg.z_scale_factor)
         return unnormalize(x.astype(jnp.float32))
 
+    def decode_latents_chunked(self, z: jnp.ndarray, max_batch: int = 8) -> jnp.ndarray:
+        """Memory-bounded decode in max_batch chunks via lax.map. The
+        reference declares vae_max_batch=8 but never chunks (viewfusion:46,
+        SURVEY.md §3.5); at 512^2-class outputs chunking is required."""
+        B = z.shape[0]
+        if B <= max_batch:
+            return self.decode_latents(z)
+        pad = (-B) % max_batch
+        zp = jnp.concatenate([z, jnp.zeros((pad,) + z.shape[1:], z.dtype)]) if pad else z
+        chunks = zp.reshape(-1, max_batch, *z.shape[1:])
+        out = jax.lax.map(self.decode_latents, chunks)
+        return out.reshape(-1, *out.shape[2:])[:B]
+
     def encode_clip(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.clip(images)
 
@@ -203,6 +216,8 @@ class ViewFusion(nn.Module):
         input_idx: jnp.ndarray,  # (1,) selected input view
         target_idx: jnp.ndarray,  # (B,) selected target views
         depths: Optional[jnp.ndarray] = None,  # (S, H, W, 1) in [0,1]
+        azimuth: Optional[jnp.ndarray] = None,  # (S,) rad — legacy path only
+        elevation: Optional[jnp.ndarray] = None,  # (S,) rad — legacy path only
     ):
         """viewfusion:165-273. View selection indices are provided by the
         caller (pipeline handles random/linspace selection so this stays
@@ -243,11 +258,14 @@ class ViewFusion(nn.Module):
             cam_embed = jnp.concatenate([input_embed, cam_vec(batch_cameras)], axis=-1)
             clip_v_embed = jnp.concatenate([clip_embed, cam_embed], axis=-1)
         else:
-            raise NotImplementedError(
-                "legacy zero123 delta-azimuth embedding (viewfusion:261-270) "
-                "requires azimuth/elevation plumbing; all shipped configs use "
-                "embed_camera_pose=true"
-            )
+            # legacy zero123 delta-pose embedding (viewfusion:261-270):
+            # [d_elev, sin(d_azim), cos(d_azim), 0] — note the reference
+            # negates elevations before differencing
+            assert azimuth is not None and elevation is not None
+            d_a = azimuth[target_idx] - azimuth[input_idx]
+            d_e = (-elevation[target_idx]) - (-elevation[input_idx])
+            v = jnp.stack([d_e, jnp.sin(d_a), jnp.cos(d_a), jnp.zeros_like(d_a)], axis=-1)
+            clip_v_embed = jnp.concatenate([clip_embed, v[:, None, :]], axis=-1)
 
         return batch_latents, batch_cameras, input_latents, input_cameras, clip_v_embed
 
@@ -387,6 +405,7 @@ class ViewFusion(nn.Module):
         target_idx: jnp.ndarray,
         rng: jax.Array,
         depths: Optional[jnp.ndarray] = None,
+        feed_prev_depth: bool = False,
     ) -> jnp.ndarray:
         """Shared-t noise-prediction L2 (viewfusion:362-392)."""
         batch_latents, batch_cams, input_latents, input_cams, clip_v = self.prepare_batch(
@@ -403,7 +422,15 @@ class ViewFusion(nn.Module):
         t = jnp.full((B,), t0, jnp.int32)  # share_t=True (scheduler.py:40-50)
         noise = jax.random.normal(rng_noise, batch_latents.shape)
         noisy = q_sample(self.sched, batch_latents, t, noise)
+        # feed_prev_depth trains GridAttn on the input latent's depth channel
+        # instead of the unbiased estimate (viewfusion:375-379)
+        prev_depth = (
+            jnp.broadcast_to(input_latents[..., 4:5], noisy[..., 4:5].shape)
+            if feed_prev_depth
+            else None
+        )
         pred = self.apply_model(
-            noisy, batch_cams, input_latents, input_cams, clip_v, t, rng_attn, cond_drop_rng=rng_drop
+            noisy, batch_cams, input_latents, input_cams, clip_v, t, rng_attn,
+            prev_depth=prev_depth, cond_drop_rng=rng_drop,
         )
         return jnp.mean((noise - pred) ** 2)

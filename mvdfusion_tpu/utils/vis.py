@@ -56,6 +56,28 @@ def save_depth_artifacts(jpg_path: str, pred_depth, input_depth, gt_depth) -> No
     save_gif(jpg_path.replace(".jpg", "_depth.gif"), list(vis_pred))
 
 
+def save_loss_plot(path: str, losses, interval: int = 1) -> None:
+    """Loss-curve plot (utils/vis_utils.py:96-105); falls back to a .npy dump
+    when matplotlib is unavailable."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arr = np.asarray(losses, np.float32)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(8, 4))
+        plt.plot(np.arange(len(arr)) * interval, arr)
+        plt.xlabel("step")
+        plt.ylabel("loss")
+        plt.tight_layout()
+        plt.savefig(path)
+        plt.close()
+    except ImportError:  # pragma: no cover
+        np.save(path + ".npy", arr)
+
+
 def save_eval_artifacts(
     save_dir: str,
     global_step: int,

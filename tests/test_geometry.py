@@ -163,3 +163,13 @@ def test_bicubic_vs_torch(rng):
         torch.from_numpy(x).permute(0, 3, 1, 2), size=(224, 224), mode="bicubic", align_corners=True
     )
     np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(), atol=2e-4)
+
+
+def test_grid_sample_mxu_matches_gather(rng):
+    from mvdfusion_tpu.geometry.gridsample import grid_sample_mxu
+
+    feat = rng.normal(size=(3, 16, 16, 8)).astype(np.float32)
+    xy = rng.uniform(-1.3, 1.3, size=(3, 100, 2)).astype(np.float32)
+    a = np.asarray(grid_sample(jnp.asarray(feat), jnp.asarray(xy)))
+    b = np.asarray(grid_sample_mxu(jnp.asarray(feat), jnp.asarray(xy)))
+    np.testing.assert_allclose(a, b, atol=1e-5)

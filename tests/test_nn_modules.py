@@ -114,3 +114,24 @@ def test_gridattn_topk():
     params = jax.jit(ga.init)(jax.random.PRNGKey(1), noisy, cams, jnp.ones((B,)), t_embed, t, sched, inp, in_cam, rng)
     out = jax.jit(ga.apply)(params, noisy, cams, jnp.ones((B,)), t_embed, t, sched, inp, in_cam, rng)
     assert out.shape == (B, H, H, 1, 16)
+
+
+def test_factorized_token_projector_equals_concat(rng):
+    """Linear-of-concat == sum-of-linears with the same (723-ish) kernel."""
+    from mvdfusion_tpu.nn.viewattn import FactorizedTokenProjector
+
+    dims = (16, 16, 9, 5, 9, 5, 1)
+    V, N, hid = 3, 11, 8
+    parts = [rng.normal(size=((V if i in (0, 2, 3, 6) else 1), N, d)).astype(np.float32)
+             for i, d in enumerate(dims)]
+    proj = FactorizedTokenProjector(hidden=hid, dims=dims)
+    v_parts = {i: jnp.asarray(parts[i]) for i in (0, 2, 3, 6)}
+    b_parts = {i: jnp.asarray(parts[i]) for i in (1, 4, 5)}
+    params = proj.init(jax.random.PRNGKey(0), v_parts, b_parts)
+    acc_v, acc_b = proj.apply(params, v_parts, b_parts)
+    ours = np.asarray(acc_v + acc_b)
+    kernel = np.asarray(params["params"]["kernel"])
+    bias = np.asarray(params["params"]["bias"])
+    concat = np.concatenate([np.broadcast_to(p, (V, N, p.shape[-1])) for p in parts], axis=-1)
+    ref = concat @ kernel + bias
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
