@@ -7,17 +7,32 @@ loop + VAE decode of the 8 views (everything needed to go from a prepared
 scene to images); the one-time scene preparation (VAE/CLIP encode of the
 input) is excluded, matching "views/sec" for sustained generation.
 
+Timing protocol (axon remote-TPU: block_until_ready is async, only
+materialisation forces execution): a jitted generate->scalar step chained
+through an explicit data dependency so queued iterations cannot overlap,
+materialised per call. The carry is created with a concrete (non-weak)
+float32 dtype — a weak-typed Python-float seed retraces the whole program on
+call #2 (the round-1 "74 s outlier" was exactly that recompile).
+
+Extra diagnostics on stderr: per-DDIM-step ms (jitted single CFG step),
+decode ms, XLA-counted TFLOPs and achieved TFLOP/s with MFU vs the measured
+chip's bf16 peak. `--profile DIR` writes a jax.profiler trace of one timed
+iteration. `--stretch` additionally benches the 512^2-class stretch shape
+(64^2 latents, n_pts_per_ray=3) to exercise the factorized-projector memory
+path (SURVEY.md §7 hard part f).
+
 The reference repo publishes no numbers (SURVEY.md §6). `vs_baseline` is
-reported against a 1.0 views/sec estimate for the PyTorch reference on
-A100 (50 steps x 2 sequential ~860M-param UNet passes at batch 15, 32^2
-latents, fp32 + GridAttn overhead) — an estimate, flagged as such here
-because there is nothing published to pin it to.
+reported against a 1.0 views/sec estimate for the PyTorch reference on A100
+(50 steps x 2 sequential ~860M-param UNet passes at batch 15, 32^2 latents,
+fp32 + GridAttn overhead) — an estimate, flagged as such because nothing
+published pins it down.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -26,8 +41,26 @@ import numpy as np
 
 A100_REFERENCE_VIEWS_PER_SEC_ESTIMATE = 1.0
 
+# bf16 peak by device kind, for the MFU estimate (public figures)
+PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,  # v5p
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
+    ap.add_argument("--stretch", action="store_true", help="also bench 64^2-latent stretch shape")
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -39,62 +72,139 @@ def main() -> None:
     img = 256
     steps = 50
 
-    cfg = ViewFusionConfig()  # full-size flagship
-    model = ViewFusion(cfg)
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_TFLOPS.items() if kind.startswith(k)), None)
+    log(f"[bench] device={kind} peak_bf16={peak} TFLOP/s")
 
-    rng = np.random.default_rng(0)
-    S = n_views + 1
-    images = jnp.asarray(rng.uniform(size=(S, img, img, 3)), jnp.float32)
-    azim = np.linspace(0.0, 360.0 * (S - 1) / S, S)
-    R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=azim + 90.0)
-    f = jnp.full((S, 2), 2.1875)
-    c = jnp.zeros((S, 2))
-    input_idx = jnp.asarray([0])
-    target_idx = jnp.asarray(np.arange(1, S), jnp.int32)
+    def build(cfg, n_views, img, tag):
+        model = ViewFusion(cfg)
+        rng = np.random.default_rng(0)
+        S = n_views + 1
+        images = jnp.asarray(rng.uniform(size=(S, img, img, 3)), jnp.float32)
+        azim = np.linspace(0.0, 360.0 * (S - 1) / S, S)
+        R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=azim + 90.0)
+        f = jnp.full((S, 2), 2.1875)
+        c = jnp.zeros((S, 2))
+        input_idx = jnp.asarray([0])
+        target_idx = jnp.asarray(np.arange(1, S), jnp.int32)
 
-    t0 = time.time()
-    params = jax.jit(lambda *a: model.init(*a, method=ViewFusion.init_all))(
-        jax.random.PRNGKey(0), images, R, T, f, c, input_idx, target_idx, jax.random.PRNGKey(1)
-    )
-    jax.block_until_ready(params)
-    print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
-
-    prep = jax.jit(lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch))
-    _, cams, in_lat, in_cams, clip_v = prep(params, images, R, T, f, c, input_idx, target_idx)
-
-    decode = jax.jit(lambda p, z: model.apply(p, z, method=ViewFusion.decode_latents))
-
-    # NOTE: on the axon remote-TPU platform block_until_ready() is async and
-    # returns immediately; only materialisation forces execution. Timing
-    # protocol: a jitted generate->scalar step, chained with an explicit data
-    # dependency so k queued iterations cannot overlap, materialised once.
-    @jax.jit
-    def gen_reduce(p, key, carry):
-        key = jax.random.fold_in(key, (carry * 0).astype(jnp.int32) + 1)
-        res = ddim_sample(
-            p, model, cams, in_lat, in_cams, clip_v, key, jnp.asarray(2.5), num_steps=steps
-        )
-        out = decode(p, res.latents[..., :4])
-        return jnp.sum(out.astype(jnp.float32))
-
-    t0 = time.time()
-    carry = gen_reduce(params, jax.random.PRNGKey(2), jnp.asarray(0.0))
-    _ = float(carry)
-    print(f"[bench] warmup(compile+upload+run) {time.time()-t0:.1f}s", file=sys.stderr)
-
-    # per-call timing, each materialised (first post-compile calls can carry
-    # residual one-time cost on this remote-TPU platform — use the median)
-    times = []
-    carry = jnp.asarray(0.0)
-    for i in range(7):
         t0 = time.time()
-        carry = gen_reduce(params, jax.random.PRNGKey(3 + i), carry)
+        params = jax.jit(lambda *a: model.init(*a, method=ViewFusion.init_all))(
+            jax.random.PRNGKey(0), images, R, T, f, c, input_idx, target_idx, jax.random.PRNGKey(1)
+        )
+        jax.block_until_ready(params)
+        log(f"[bench:{tag}] init {time.time()-t0:.1f}s")
+
+        prep = jax.jit(lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch))
+        _, cams, in_lat, in_cams, clip_v = prep(
+            params, images, R, T, f, c, input_idx, target_idx
+        )
+        return model, params, cams, in_lat, in_cams, clip_v
+
+    def bench_workload(cfg, n_views, img, steps, tag):
+        model, params, cams, in_lat, in_cams, clip_v = build(cfg, n_views, img, tag)
+        decode = jax.jit(lambda p, z: model.apply(p, z, method=ViewFusion.decode_latents))
+
+        @jax.jit
+        def gen_reduce(p, key, carry):
+            key = jax.random.fold_in(key, (carry * 0).astype(jnp.int32) + 1)
+            res = ddim_sample(
+                p, model, cams, in_lat, in_cams, clip_v, key, jnp.asarray(2.5), num_steps=steps
+            )
+            out = decode(p, res.latents[..., :4])
+            return jnp.sum(out.astype(jnp.float32))
+
+        # one compile+run (carry dtype fixed float32 non-weak: ONE compile)
+        t0 = time.time()
+        carry = gen_reduce(params, jax.random.PRNGKey(2), jnp.zeros((), jnp.float32))
         _ = float(carry)
-        times.append(time.time() - t0)
-    steady = sorted(times[2:])[len(times[2:]) // 2]  # median of calls 2..6
-    per_iter = steady
-    vps = n_views / per_iter
-    print(f"[bench] times={['%.2f' % t for t in times]}s steady={per_iter:.3f}s views/s={vps:.3f}", file=sys.stderr)
+        log(f"[bench:{tag}] warmup(compile+upload+run) {time.time()-t0:.1f}s")
+
+        # XLA's own FLOP count for the honest MFU denominator
+        tflops = None
+        try:
+            cost = gen_reduce.lower(
+                params, jax.random.PRNGKey(2), jnp.zeros((), jnp.float32)
+            ).compile().cost_analysis()
+            if cost and "flops" in cost:
+                tflops = float(cost["flops"]) / 1e12
+        except Exception as e:  # pragma: no cover
+            log(f"[bench:{tag}] cost_analysis unavailable: {e}")
+
+        times = []
+        for i in range(args.iters):
+            if args.profile and i == 2:
+                jax.profiler.start_trace(args.profile)
+            t0 = time.time()
+            carry = gen_reduce(params, jax.random.PRNGKey(3 + i), carry)
+            _ = float(carry)
+            times.append(time.time() - t0)
+            if args.profile and i == 2:
+                jax.profiler.stop_trace()
+                log(f"[bench:{tag}] profiler trace -> {args.profile}")
+        steady = sorted(times[1:])[len(times[1:]) // 2]
+        vps = n_views / steady
+        log(f"[bench:{tag}] times={['%.2f' % t for t in times]}s steady={steady:.3f}s views/s={vps:.3f}")
+        if tflops is not None:
+            achieved = tflops / steady
+            mfu = achieved / peak if peak else float("nan")
+            log(
+                f"[bench:{tag}] xla_flops={tflops:.1f} TFLOP/scene "
+                f"achieved={achieved:.1f} TFLOP/s MFU={mfu*100:.1f}%"
+            )
+
+        # component breakdown: one CFG denoising step and the decode
+        B = clip_v.shape[0]
+        ls = cfg.latent_size
+        x = jnp.zeros((B, ls, ls, 5))
+        t = jnp.full((B,), 500, jnp.int32)
+
+        @jax.jit
+        def one_step(p, x, carry):
+            x = x + carry * 0
+            out = model.apply(
+                p, x, cams, in_lat, in_cams, clip_v, t, jax.random.PRNGKey(0),
+                jnp.asarray(2.5), method=ViewFusion.apply_model_cfg,
+            )
+            return jnp.sum(out.astype(jnp.float32))
+
+        c0 = one_step(params, x, jnp.zeros((), jnp.float32))
+        _ = float(c0)
+        t0 = time.time()
+        for _i in range(10):
+            c0 = one_step(params, x, c0)
+        _ = float(c0)
+        step_ms = (time.time() - t0) / 10 * 1e3
+
+        z = jnp.zeros((B, ls, ls, 4))
+
+        @jax.jit
+        def dec_step(p, z, carry):
+            return jnp.sum(decode(p, z + carry * 0).astype(jnp.float32))
+
+        c1 = dec_step(params, z, jnp.zeros((), jnp.float32))
+        _ = float(c1)
+        t0 = time.time()
+        for _i in range(5):
+            c1 = dec_step(params, z, c1)
+        _ = float(c1)
+        dec_ms = (time.time() - t0) / 5 * 1e3
+        log(
+            f"[bench:{tag}] per-DDIM-step {step_ms:.1f} ms x {steps} = {step_ms*steps/1e3:.2f}s; "
+            f"decode {dec_ms:.1f} ms; scan total {steady:.2f}s "
+            f"(overhead {steady - step_ms*steps/1e3 - dec_ms/1e3:+.2f}s)"
+        )
+        return vps
+
+    vps = bench_workload(ViewFusionConfig(), n_views, img, steps, "main")
+
+    if args.stretch:
+        import dataclasses
+
+        stretch_cfg = dataclasses.replace(
+            ViewFusionConfig(), latent_size=64, n_pts_per_ray=3
+        )
+        bench_workload(stretch_cfg, n_views, 512, steps, "stretch64")
 
     print(
         json.dumps(

@@ -30,6 +30,13 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny model for smoke runs")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    p.add_argument(
+        "--scene-batch",
+        type=int,
+        default=1,
+        help="scenes per jitted SPMD step (sharded over the mesh dp axis); "
+        "1 = plain sequential loop",
+    )
     return p.parse_args(argv)
 
 
@@ -92,38 +99,99 @@ def main(argv=None):
     else:
         print("[demo] no checkpoint found — running with random weights")
 
-    prep = jax.jit(lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch))
-    decode = jax.jit(lambda p, z: model.apply(p, z, method=ViewFusion.decode_latents))
-
     save_dir = os.path.join(saver.get("exp_dir", "demo/"), inference.get("vis_dir", "vis/"))
     os.makedirs(save_dir, exist_ok=True)
 
-    rng = jax.random.PRNGKey(args.seed)
+    base_key = jax.random.PRNGKey(args.seed)
+    unnorm = lambda d: np.clip((np.asarray(d) + 1) / 2, 0, 1)
     t_start = time.time()
-    for i in range(eval_num):
-        scene = dataset[i]
-        arrays = tuple(jnp.asarray(scene[k]) for k in ("images", "R", "T", "f", "c"))
-        batch_latents, cams, in_lat, in_cams, clip_v = prep(params, *arrays, input_idx, target_idx)
-        rng, krun = jax.random.split(rng)
-        res = ddim_sample(
-            params, model, cams, in_lat, in_cams, clip_v, krun, jnp.asarray(cfg_scale), num_steps=steps
-        )
-        pred_rgb = np.asarray(decode(params, res.latents[..., :4]))
-        gt_rgb = np.asarray(decode(params, batch_latents[..., :4]))
-        unnorm = lambda d: np.clip((np.asarray(d) + 1) / 2, 0, 1)
+    all_psnr, all_ssim = [], []
+
+    def report(scene, out, done):
+        """Write artifacts + quality metrics for one scene's outputs."""
+        from mvdfusion_tpu.utils.metrics import psnr, ssim
+
         jpg = save_eval_artifacts(
-            save_dir,
-            0,
-            int(scene["index"]),
-            pred_rgb,
-            gt_rgb,
-            pred_depth=unnorm(res.latents[..., 4:]),
-            input_depth=unnorm(in_lat[..., 4:]),
-            gt_depth=unnorm(batch_latents[..., 4:]),
+            save_dir, 0, int(scene["index"]),
+            np.asarray(out["pred_rgb"]), np.asarray(out["gt_rgb"]),
+            pred_depth=np.asarray(out["pred_depth"]),
+            input_depth=np.asarray(out["input_depth"]),
+            gt_depth=np.asarray(out["gt_depth"]),
         )
-        done, total = i + 1, eval_num
-        eta = (time.time() - t_start) / done * (total - done)
-        print(f"[demo] scene {scene['idx']} -> {jpg}  [{done}/{total}, eta {eta:.0f}s]")
+        p = psnr(out["pred_rgb"], out["gt_rgb"])
+        s = ssim(np.asarray(out["pred_rgb"]), np.asarray(out["gt_rgb"]))
+        all_psnr.append(p)
+        all_ssim.append(s)
+        eta = (time.time() - t_start) / done * (eval_num - done)
+        print(
+            f"[demo] scene {scene['idx']} -> {jpg}  psnr {p:.2f} ssim {s:.3f}"
+            f"  [{done}/{eval_num}, eta {eta:.0f}s]"
+        )
+
+    if args.scene_batch > 1:
+        # batched SPMD path: N scenes per jitted step, sharded over the dp
+        # mesh axis (reference counterpart: rank-split eval, demo.py:63-65)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mvdfusion_tpu.parallel.mesh import make_mesh
+        from mvdfusion_tpu.pipeline.eval import eval_scenes
+
+        nb = args.scene_batch
+        ndev = len(jax.devices())
+        mesh = make_mesh(dp=ndev, tp=1) if nb % ndev == 0 else None
+        done = 0
+        for start in range(0, eval_num, nb):
+            ids = [(start + j) % len(dataset) for j in range(nb)]
+            scenes = [dataset[i] for i in ids]
+            stack = {
+                k: jnp.asarray(np.stack([s[k] for s in scenes]))
+                for k in ("images", "R", "T", "f", "c")
+            }
+            keys = jnp.stack([jax.random.fold_in(base_key, i) for i in ids])
+            if mesh is not None:
+                shard = NamedSharding(mesh, P("dp"))
+                stack = {k: jax.device_put(v, shard) for k, v in stack.items()}
+                keys = jax.device_put(keys, shard)
+            out = eval_scenes(
+                params, model, stack["images"], stack["R"], stack["T"], stack["f"],
+                stack["c"], input_idx, target_idx, keys, jnp.asarray(cfg_scale),
+                num_steps=steps,
+            )
+            out = jax.device_get(out._asdict())
+            for j, scene in enumerate(scenes):
+                if start + j >= eval_num:
+                    break
+                done += 1
+                report(scene, {k: v[j] for k, v in out.items()}, done)
+    else:
+        prep = jax.jit(lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch))
+        decode = jax.jit(
+            lambda p, z: model.apply(p, z, method=ViewFusion.decode_latents_chunked)
+        )
+        for i in range(eval_num):
+            scene = dataset[i]
+            arrays = tuple(jnp.asarray(scene[k]) for k in ("images", "R", "T", "f", "c"))
+            batch_latents, cams, in_lat, in_cams, clip_v = prep(
+                params, *arrays, input_idx, target_idx
+            )
+            res = ddim_sample(
+                params, model, cams, in_lat, in_cams, clip_v,
+                jax.random.fold_in(base_key, i), jnp.asarray(cfg_scale), num_steps=steps,
+            )
+            out = {
+                "pred_rgb": np.asarray(decode(params, res.latents[..., :4])),
+                "gt_rgb": np.asarray(decode(params, batch_latents[..., :4])),
+                "pred_depth": unnorm(res.latents[..., 4:]),
+                "gt_depth": unnorm(batch_latents[..., 4:]),
+                "input_depth": unnorm(in_lat[..., 4:]),
+            }
+            report(scene, out, i + 1)
+
+    if all_psnr:
+        print(
+            f"[demo] mean over {len(all_psnr)} scenes: psnr {np.mean(all_psnr):.2f} "
+            f"ssim {np.mean(all_ssim):.3f}"
+        )
 
 
 if __name__ == "__main__":

@@ -52,7 +52,7 @@ def main(argv=None):
     from mvdfusion_tpu.core.config import build_dataset, build_model_config, build_train_config, load_yaml
     from mvdfusion_tpu.data.sampler import StatefulShardedSampler
     from mvdfusion_tpu.nn.viewfusion import ViewFusion
-    from mvdfusion_tpu.parallel.mesh import make_mesh, param_shardings
+    from mvdfusion_tpu.parallel.mesh import data_sharding, make_mesh, param_shardings
     from mvdfusion_tpu.pipeline.trainer import TrainState, init_train_state, make_train_step
     from mvdfusion_tpu.utils.metrics import AverageMeter
 
@@ -127,7 +127,7 @@ def main(argv=None):
         )
         start_step, start_epoch = int(payload["step"]), int(payload["epoch"])
 
-    data_shard = NamedSharding(mesh, P("dp"))
+    data_shard = data_sharding(mesh)
     train_step = jax.jit(
         make_train_step(model, tc),
         in_shardings=(
@@ -160,8 +160,45 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + 1)
     print_interval = int(saver.get("print_interval", 100))
     save_interval = int(saver.get("save_interval", 2000))
+    vis_interval = int(saver.get("vis_interval", 0))  # 0 = off
+    vis_ddim_steps = int(saver.get("vis_ddim_steps", 50))
+    vis_dir = os.path.join(saver.get("exp_dir", "runs/"), saver.get("vis_dir", "vis/"))
     loss_interval = int(saver.get("loss_interval", print_interval))
     loss_dir = os.path.join(saver.get("exp_dir", "runs/"), saver.get("loss_dir", "loss/"))
+
+    def visualize(params, batch, step):
+        """Periodic training-time DDIM sample grid (reference train.py:116-117
+        + utils/vis_utils.py:21-93): full sample at cfg 1.0 on the first
+        scene of the current batch, rows [noise|pred|gt|pred_d|gt_d]."""
+        from mvdfusion_tpu.pipeline.sampler import ddim_sample
+        from mvdfusion_tpu.utils.vis import save_train_vis_grid
+
+        one = {k: batch[k][0] for k in batch}
+        lat, cams, in_lat, in_cams, clip_v = jax.jit(
+            lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch)
+        )(params, one["images"], one["R"], one["T"], one["f"], one["c"],
+          one["input_idx"], one["target_idx"])
+        res = ddim_sample(
+            params, model, cams, in_lat, in_cams, clip_v,
+            jax.random.PRNGKey(step), jnp.asarray(1.0), num_steps=vis_ddim_steps,
+        )
+        decode = jax.jit(lambda p, z: model.apply(p, z, method=ViewFusion.decode_latents))
+        noise = jax.random.normal(jax.random.PRNGKey(step + 1), lat[..., :4].shape)
+        # overwrite_x_noisy semantics (vis_utils.py:49-51): slot 0 shows gt
+        noise = noise.at[0].set(lat[0, ..., :4])
+        unnorm = lambda d: np.clip((np.asarray(d) + 1) / 2, 0, 1)
+        save_train_vis_grid(
+            os.path.join(vis_dir, f"{step:07d}.jpg"),
+            np.asarray(decode(params, noise)),
+            np.asarray(decode(params, res.latents[..., :4])),
+            np.asarray(decode(params, lat[..., :4])),
+            unnorm(res.latents[..., 4:]),
+            unnorm(lat[..., 4:]),
+            input_rgb=np.asarray(decode(params, in_lat[..., :4])),
+            input_depth=unnorm(in_lat[..., 4:]),
+            concat_input=bool(saver.get("concat_input", False)),
+        )
+        print(f"[train] wrote visual sample grid @ step {step}")
     loss_history = []
     step = start_step
     t_last = time.time()
@@ -188,6 +225,8 @@ def main(argv=None):
                 dt = (time.time() - t_last) / print_interval
                 t_last = time.time()
                 print(f"[train] epoch {epoch} step {step} loss {meter.avg:.4f} ({dt:.2f}s/it)")
+            if vis_interval and step % vis_interval == 0:
+                visualize(state.params, batch, step)
             if step % save_interval == 0:
                 save_checkpoint(
                     ckpt_dir,

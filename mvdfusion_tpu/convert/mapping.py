@@ -263,7 +263,7 @@ def viewattn_mapping(cfg: ViewFusionConfig, prefix: str = "") -> Dict[Path, Entr
     """GridAttn (view_attn_efficient2.py:96-165); the dead t_embedder /
     ray_embedder members are intentionally unmapped."""
     t: Dict[Path, Entry] = {}
-    _dense(t, ("z_embedder", "layers_0"), prefix + "z_embedder.0")
+    _dense(t, ("z_embedder",), prefix + "z_embedder.0")
     # the factorized projector holds the pre_layer_b Linear verbatim
     _dense(t, ("pre_layer",), prefix + "pre_layer_b.0")
     for i in range(cfg.viewattn_layers):

@@ -32,6 +32,7 @@ from mvdfusion_tpu.convert.surgery import (
     ZERO123_PARAM_MAPPER,
     ZERO123_REMOVE_KEYS,
     apply_surgery,
+    report_load,
 )
 from mvdfusion_tpu.nn.viewfusion import ViewFusionConfig
 
@@ -63,14 +64,40 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     return _to_numpy_state(obj)
 
 
+class ConvertStats:
+    """What a conversion actually did — for hard assertions in tests.
+
+    wrote:           flax paths whose values came from the checkpoint
+    missing_flax:    table rows pointing at a nonexistent flax param
+    missing_torch:   table rows whose torch key was absent from the ckpt
+    unused_torch:    ckpt keys no table row consumed
+    untouched_flax:  flax params no table row covers (kept their init)
+    """
+
+    def __init__(self, wrote, missing_flax, missing_torch, unused_torch, untouched_flax):
+        self.wrote = wrote
+        self.missing_flax = missing_flax
+        self.missing_torch = missing_torch
+        self.unused_torch = unused_torch
+        self.untouched_flax = untouched_flax
+
+
 def apply_mapping(
     params: Any,
     torch_state: Mapping[str, np.ndarray],
     table: Dict[tuple, tuple],
     verbose: bool = True,
     strict_shapes: bool = True,
-) -> Any:
-    """Write mapped torch tensors into a (copied) flax param pytree."""
+    strict: bool = False,
+    return_stats: bool = False,
+):
+    """Write mapped torch tensors into a (copied) flax param pytree.
+
+    With strict=True any table row that fails to land (missing flax param or
+    missing torch key) raises — the reference's "missing core" hard warning
+    (utils/load_model.py:69-92) made fatal. Without it, a silent table typo
+    would leave random init in place.
+    """
     import jax
 
     flat = {
@@ -78,14 +105,15 @@ def apply_mapping(
         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
     }
     new = dict(flat)
-    used, hit = set(), 0
+    used, wrote = set(), []
+    missing_flax, missing_torch = [], []
     for fpath, (tkey, tf) in table.items():
         full = ("params",) + fpath
         if full not in flat:
-            if verbose:
-                print(f"[convert] no flax param at {'/'.join(full)}")
+            missing_flax.append("/".join(full))
             continue
         if tkey not in torch_state:
+            missing_torch.append(tkey)
             continue
         w = TRANSFORMS[tf](torch_state[tkey]).astype(np.float32)
         if w.shape != flat[full].shape:
@@ -96,29 +124,59 @@ def apply_mapping(
             continue
         new[full] = w
         used.add(tkey)
-        hit += 1
+        wrote.append(full)
+    covered = {("params",) + f for f in table}
+    stats = ConvertStats(
+        wrote=wrote,
+        missing_flax=missing_flax,
+        missing_torch=missing_torch,
+        unused_torch=[k for k in torch_state if k not in used],
+        untouched_flax=["/".join(p) for p in flat if p not in covered],
+    )
+    # missing/unexpected-key report (reference load_model.py:69-92)
+    report_load(
+        [tkey for _, (tkey, _) in table.items()], list(torch_state.keys()), verbose=verbose
+    )
     if verbose:
-        print(f"[convert] wrote {hit}/{len(table)} mapped tensors")
-        unused = [k for k in torch_state if k not in used]
-        if unused:
-            print(f"[convert] {len(unused)} torch keys unused, e.g. {unused[:5]}")
+        print(f"[convert] wrote {len(wrote)}/{len(table)} mapped tensors")
+        for p in missing_flax[:5]:
+            print(f"[convert] no flax param at {p}")
+    if strict and (missing_flax or missing_torch):
+        raise ValueError(
+            f"[convert] strict load failed: {len(missing_flax)} table rows with no flax "
+            f"param (e.g. {missing_flax[:3]}), {len(missing_torch)} with no torch key "
+            f"(e.g. {missing_torch[:3]})"
+        )
 
     # rebuild pytree
     paths, treedef = jax.tree_util.tree_flatten_with_path(params)
     leaves = [
         new[tuple(str(getattr(k, "key", k)) for k in path)] for path, _ in paths
     ]
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    out = jax.tree_util.tree_unflatten(treedef, leaves)
+    return (out, stats) if return_stats else out
 
 
-def load_viewfusion(params, cfg: ViewFusionConfig, path: str, verbose: bool = True):
-    """Full ViewFusion checkpoint -> params (demo.py:161-169)."""
+def load_viewfusion(
+    params, cfg: ViewFusionConfig, path: str, verbose: bool = True,
+    strict: bool = True, return_stats: bool = False,
+):
+    """Full ViewFusion checkpoint -> params (demo.py:161-169). strict=True by
+    default: a sep23-style full checkpoint must cover every mapped tensor."""
     state = load_torch_state(path)
-    return apply_mapping(params, state, viewfusion_mapping(cfg), verbose=verbose)
+    return apply_mapping(
+        params, state, viewfusion_mapping(cfg), verbose=verbose,
+        strict=strict, return_stats=return_stats,
+    )
 
 
-def load_zero123_unet(params, cfg: ViewFusionConfig, path: str, verbose: bool = True):
-    """zero123 SD-UNet init with full key surgery (unet.py:88-93)."""
+def load_zero123_unet(
+    params, cfg: ViewFusionConfig, path: str, verbose: bool = True,
+    return_stats: bool = False,
+):
+    """zero123 SD-UNet init with full key surgery (unet.py:88-93). Not strict:
+    the grafted view-attn rows are expected missing from a zero123 ckpt
+    (ignore_keys semantics, viewfusion_zero_depth_rgb.py:64-69)."""
     state = load_torch_state(path)
     state = apply_surgery(
         state,
@@ -128,19 +186,29 @@ def load_zero123_unet(params, cfg: ViewFusionConfig, path: str, verbose: bool = 
         ignore_keys=("aligned_attn_",),
     )
     table = {("unet",) + k: v for k, v in unet_mapping(cfg).items()}
-    return apply_mapping(params, state, table, verbose=verbose)
+    return apply_mapping(params, state, table, verbose=verbose, return_stats=return_stats)
 
 
-def load_sd_vae(params, cfg: ViewFusionConfig, path: str, verbose: bool = True):
+def load_sd_vae(
+    params, cfg: ViewFusionConfig, path: str, verbose: bool = True,
+    strict: bool = True, return_stats: bool = False,
+):
     """SD VAE init (viewfusion:75, replace first_stage_model. prefix)."""
     state = load_torch_state(path)
     state = apply_surgery(state, replace_key=("first_stage_model.", ""))
     table = {("vae",) + k: v for k, v in vae_mapping(cfg).items()}
-    return apply_mapping(params, state, table, verbose=verbose)
+    return apply_mapping(
+        params, state, table, verbose=verbose, strict=strict, return_stats=return_stats
+    )
 
 
-def load_clip(params, cfg: ViewFusionConfig, path: str, verbose: bool = True):
+def load_clip(
+    params, cfg: ViewFusionConfig, path: str, verbose: bool = True,
+    strict: bool = True, return_stats: bool = False,
+):
     """OpenAI CLIP ViT-L/14 image tower (encoders/modules.py:414)."""
     state = load_torch_state(path)
     table = {("clip",) + k: v for k, v in clip_mapping(cfg).items()}
-    return apply_mapping(params, state, table, verbose=verbose)
+    return apply_mapping(
+        params, state, table, verbose=verbose, strict=strict, return_stats=return_stats
+    )

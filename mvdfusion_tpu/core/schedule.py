@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -135,17 +136,26 @@ def make_ddim_schedule(
 ) -> DDIMSchedule:
     """Build the DDIM alpha/sigma tables (mvdfusion/sampler.py:25-39).
 
-    `sched` is a DDPMSchedule or an int timestep count. Tables are always
-    recomputed in host numpy so this is safe to call at trace time (jnp
-    arrays inside jit are tracers and cannot seed numpy math).
+    `sched` is a DDPMSchedule (whose alphas_cumprod table is used directly,
+    so a non-default beta schedule stays in sync) or an int timestep count
+    (tables rebuilt from the default SD endpoints). DDPMSchedule tables are
+    concrete constants (built host-side by make_ddpm_schedule), so reading
+    them back into numpy here is safe even at trace time.
     """
     if isinstance(sched, DDPMSchedule):
         ddpm_T = sched.num_timesteps
+        try:
+            abar = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+        except jax.errors.TracerArrayConversionError as e:  # pragma: no cover
+            raise TypeError(
+                "make_ddim_schedule(DDPMSchedule) needs a concrete schedule; "
+                "under jit pass (timesteps, linear_start, linear_end) instead"
+            ) from e
     else:
         ddpm_T = int(sched)
+        betas = np.linspace(linear_start**0.5, linear_end**0.5, ddpm_T, dtype=np.float64) ** 2
+        abar = np.cumprod(1.0 - betas)
     ts = make_ddim_timesteps(num_steps, ddpm_T, method)
-    betas = np.linspace(linear_start**0.5, linear_end**0.5, ddpm_T, dtype=np.float64) ** 2
-    abar = np.cumprod(1.0 - betas)
     alphas = abar[ts]
     alphas_prev = np.concatenate([abar[0:1], abar[ts[:-1]]])
     sigmas = eta * np.sqrt((1 - alphas_prev) / (1 - alphas) * (1 - alphas / alphas_prev))

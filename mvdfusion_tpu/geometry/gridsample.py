@@ -6,9 +6,9 @@ border padding, always invoked on NEGATED NDC xy (view_attn_efficient2.py:
 semantics on NHWC tensors with a vectorised 4-corner gather; the negation is
 applied by the caller (geometry convention), not here.
 
-TPU notes: the gather lowers to dynamic-gather on flattened HW; feature
-channels stay contiguous in the lane dimension. A fused Pallas variant for
-the cross-view hot path lives in ops/ (see ops/viewattn_kernels.py).
+TPU notes: `grid_sample` lowers to dynamic-gather on flattened HW;
+`grid_sample_mxu` re-expresses the interpolation as a dense one-hot matmul
+that rides the MXU — the form GridAttn uses on its hot path (nn/viewattn.py).
 """
 
 from __future__ import annotations

@@ -109,9 +109,15 @@ def dot_attention(
     """Multi-head attention core with fp32 softmax.
 
     q: (B, Nq, H, D), k/v: (B, Nk, H, D) -> (B, Nq, H, D).
-    Batched matmuls map directly onto the MXU; softmax stays in fp32 for
-    numerical parity with the reference's fp32 model.
+    On TPU the large-token sites route to the fused Pallas kernel
+    (ops/attention.py) which keeps the fp32 logits in VMEM; elsewhere (CPU,
+    tiny sequences) the plain XLA einsum path runs. Both compute a
+    stabilized fp32 softmax with bf16-matmul operands — identical math.
     """
+    from mvdfusion_tpu.ops.attention import fused_attention, should_fuse
+
+    if should_fuse(q, k):
+        return fused_attention(q, k, v, scale)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)

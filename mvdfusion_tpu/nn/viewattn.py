@@ -39,6 +39,11 @@ from mvdfusion_tpu.geometry.gridsample import grid_sample, grid_sample_mxu
 from mvdfusion_tpu.geometry.harmonics import harmonic_embed, harmonic_output_dim
 from mvdfusion_tpu.geometry.rays import pixel_rays, plucker_coords, rays_to_points
 from mvdfusion_tpu.nn.layers import Dtype, LayerNormFp32, Mlp, TimmAttention
+from mvdfusion_tpu.ops.crossview import (
+    AggregatorWeights,
+    crossview_aggregate,
+    should_fuse_crossview,
+)
 
 
 def _modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
@@ -94,36 +99,40 @@ class FactorizedTokenProjector(nn.Module):
     Holds ONE (sum(dims), hidden) kernel — bit-identical parameters to the
     reference's pre_layer_b Linear (view_attn_efficient2.py:158) — sliced by
     part at apply time. Parts are keyed by their position in the reference's
-    concat order; `v_parts` vary per source view (V, N, d), `b_parts` are
-    view-invariant (1, N, d) and summed separately so they broadcast late.
+    concat order. Because each slice is a plain linear map, it commutes with
+    bilinear sampling: the feature-map parts are projected BEFORE the
+    per-point gather (V*HW rows instead of V*N = V^2*HW*D), cutting the
+    projection FLOPs by V*D with identical math.
     """
 
     hidden: int
     dims: tuple
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, v_parts: dict, b_parts: dict):
+    def setup(self):
         total = sum(self.dims)
-        kernel = self.param(
+        self.kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (total, self.hidden), jnp.float32
-        ).astype(self.dtype)
-        bias = self.param("bias", nn.initializers.zeros, (self.hidden,), jnp.float32).astype(
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.hidden,), jnp.float32)
+        offs = [0]
+        for d in self.dims:
+            offs.append(offs[-1] + d)
+        self.offsets = tuple(offs)
+
+    def part_kernel(self, i: int) -> jnp.ndarray:
+        return self.kernel[self.offsets[i] : self.offsets[i + 1]].astype(self.dtype)
+
+    def part(self, i: int, x: jnp.ndarray) -> jnp.ndarray:
+        """Project one concat-slot through its kernel slice."""
+        return jnp.dot(x, self.part_kernel(i), preferred_element_type=jnp.float32).astype(
             self.dtype
         )
-        offsets = [0]
-        for d in self.dims:
-            offsets.append(offsets[-1] + d)
 
-        def project(parts):
-            acc = None
-            for i, p in parts.items():
-                k = kernel[offsets[i] : offsets[i + 1]]
-                y = jnp.dot(p, k, preferred_element_type=jnp.float32).astype(self.dtype)
-                acc = y if acc is None else acc + y
-            return acc
-
-        return project(v_parts), project(b_parts) + bias
+    def __call__(self, v_parts: dict, b_parts: dict):
+        acc_v = sum(self.part(i, p) for i, p in v_parts.items())
+        acc_b = sum(self.part(i, p) for i, p in b_parts.items())
+        return acc_v, acc_b + self.bias.astype(self.dtype)
 
 
 class GridAttn(nn.Module):
@@ -145,6 +154,10 @@ class GridAttn(nn.Module):
     top_k: int = 4
     dtype: Dtype = jnp.float32
     sampling: str = "mxu"  # "mxu" (one-hot matmul, TPU-fast) | "gather"
+    # fused Pallas gather+DiT kernel (ops/crossview.py):
+    #   "auto" (on TPU when shapes qualify) | "never" | "interpret" (force,
+    #   interpreter mode — for CPU parity tests)
+    crossview_kernel: str = "auto"
 
     @nn.compact
     def __call__(
@@ -159,6 +172,7 @@ class GridAttn(nn.Module):
         input_cameras: Cameras,  # single input camera
         rng: jax.Array,  # depth-jitter noise key
         overwrite_attn_depth: Optional[jnp.ndarray] = None,  # (B, H, W, 1)
+        jitter_noise: Optional[jnp.ndarray] = None,  # (B, H, W, D) unit normal
     ) -> jnp.ndarray:
         B, H, W, C_in = noisy_latents.shape
         D = self.n_pts_per_ray
@@ -172,7 +186,9 @@ class GridAttn(nn.Module):
         else:
             depth = overwrite_attn_depth
         depth = jnp.broadcast_to(depth, (B, H, W, D))
-        depth = depth + depth_std * jax.random.normal(rng, (B, H, W, D), depth.dtype)
+        if jitter_noise is None:
+            jitter_noise = jax.random.normal(rng, (B, H, W, D), depth.dtype)
+        depth = depth + depth_std * jitter_noise
         # unnormalize clips to [0,1] (common_utils.py:66-70), then metric map
         depth = jnp.clip((depth + 1.0) * 0.5, 0.0, 1.0) * self.depth_scale + self.depth_shift
 
@@ -182,20 +198,15 @@ class GridAttn(nn.Module):
         pts_flat = pts.reshape(1, B * H * W * D, 3)
         N = B * H * W * D
 
-        # ---- 3. embed latents and gather (:310-331, :434-437) -------------
-        z_embed = nn.Sequential(
-            [nn.Dense(self.hidden_size, dtype=self.dtype), lambda a: nn.gelu(a, approximate=False)],
-            name="z_embedder",
-        )
+        # ---- 3. embed latents (:434-437) -----------------------------------
+        z_dense = nn.Dense(self.hidden_size, dtype=self.dtype, name="z_embedder")
+        z_embed = lambda a: nn.gelu(z_dense(a), approximate=False)
         view_feat = z_embed(noisy_latents.astype(self.dtype))  # (V, H, W, hid)
         input_feat = z_embed(input_latents.astype(self.dtype))  # (1, H, W, hid)
 
         sample = grid_sample_mxu if self.sampling == "mxu" else grid_sample
         ndc_all = transform_points_ndc(batch_cameras, pts_flat)  # (V, N, 3)
-        # negated-xy grid convention (:310-316)
-        ref_feats = sample(view_feat, -ndc_all[..., :2])  # (V, N, hid)
         ndc_in = transform_points_ndc(input_cameras, pts_flat)  # (1, N, 3)
-        in_feats = sample(input_feat, -ndc_in[..., :2])  # (1, N, hid)
 
         # ---- 4. geometric embeddings (:333-361) ----------------------------
         hembed = lambda a: harmonic_embed(a, self.n_harmonic, self.omega0)
@@ -218,11 +229,10 @@ class GridAttn(nn.Module):
         # The reference concatenates 7 feature groups into a (V, N, 723)
         # token tensor and then applies Linear(723 -> hidden). Linear of a
         # concat == sum of linears of the parts, so we never materialise the
-        # concat: the V-varying parts (view feats / ref plucker / ref depth /
-        # mask) and the V-invariant parts (input feats / query plucker /
-        # query depth) are projected separately and summed. At the 512^2
-        # stretch resolution this removes a multi-GB intermediate plus its
-        # (V, N) -> (N, V) transpose; the projection FLOPs are unchanged.
+        # concat; and because the feature-map parts' slices commute with the
+        # bilinear gather, the maps are projected BEFORE sampling (V*HW rows
+        # instead of V*N = V^2*HW*D — a V*D x FLOP cut). At the 512^2 stretch
+        # resolution this also removes a multi-GB concat intermediate.
         dt = self.dtype
         proj = FactorizedTokenProjector(
             hidden=self.hidden_size,
@@ -230,11 +240,90 @@ class GridAttn(nn.Module):
             dtype=dt,
             name="pre_layer",
         )
+        view_feat_p = proj.part(0, view_feat)  # (V, H, W, hid) pre-projected
+        input_feat_p = proj.part(1, input_feat)  # (1, H, W, hid)
+        # negated-xy grid convention (:310-316)
+        in_feats_p = sample(input_feat_p, -ndc_in[..., :2])  # (1, N, hid)
         mask_tok = jnp.broadcast_to(predict_mask[:, None, None].astype(dt), (V, N, 1))
-        acc_v, acc_b = proj(
-            v_parts={0: ref_feats.astype(dt), 2: ref_plucker.astype(dt), 3: ref_depth_e.astype(dt), 6: mask_tok},
-            b_parts={1: in_feats.astype(dt), 4: q_plucker.astype(dt), 5: q_depth_e.astype(dt)},
-        )  # (V, N, hid), (1, N, hid)
+        acc_b = (
+            in_feats_p
+            + proj.part(4, q_plucker.astype(dt))
+            + proj.part(5, q_depth_e.astype(dt))
+            + proj.bias.astype(dt)
+        )  # (1, N, hid)
+        c = t_embed[:1].astype(dt)  # shared-t conditioning (:438)
+        aggregator = AggregationTransformer(
+            self.num_heads, self.num_layers, self.mlp_ratio, dtype=dt, name="aggregator"
+        )
+        final_layer = nn.Dense(self.output_dim, dtype=dt, name="final_layer")
+
+        mode = self.crossview_kernel
+        use_kernel = (
+            not self.is_initializing()
+            and not self.keep_top_k_views
+            and (
+                mode == "interpret"
+                or (mode == "auto" and should_fuse_crossview(V, H, W, self.hidden_size, False))
+            )
+        )
+        if use_kernel:
+            # ---- fused Pallas path: gather + projection + DiT + pool in one
+            # kernel, token tensor never touches HBM (ops/crossview.py) -----
+            geo = jnp.concatenate(
+                [ref_plucker.astype(dt), ref_depth_e.astype(dt), mask_tok], axis=-1
+            )  # (V, N, 106)
+            k_geo = jnp.concatenate(
+                [proj.part_kernel(2), proj.part_kernel(3), proj.part_kernel(6)], axis=0
+            )
+            av = aggregator.variables["params"]
+            L = self.num_layers
+            stack = lambda f: jnp.stack([f(av[f"block_{i}"]) for i in range(L)])
+            cs = nn.silu(c.astype(jnp.float32))
+            mods = jnp.stack(
+                [
+                    (
+                        cs @ av[f"block_{i}"]["adaLN"]["kernel"].astype(jnp.float32)
+                        + av[f"block_{i}"]["adaLN"]["bias"].astype(jnp.float32)
+                    ).reshape(6, self.hidden_size)
+                    for i in range(L)
+                ]
+            )
+            fv = final_layer.variables["params"]
+            weights = AggregatorWeights(
+                qkv_k=stack(lambda b: b["attn"]["qkv"]["kernel"]),
+                qkv_b=stack(lambda b: b["attn"]["qkv"]["bias"]),
+                proj_k=stack(lambda b: b["attn"]["proj"]["kernel"]),
+                proj_b=stack(lambda b: b["attn"]["proj"]["bias"]),
+                fc1_k=stack(lambda b: b["mlp"]["fc1"]["kernel"]),
+                fc1_b=stack(lambda b: b["mlp"]["fc1"]["bias"]),
+                fc2_k=stack(lambda b: b["mlp"]["fc2"]["kernel"]),
+                fc2_b=stack(lambda b: b["mlp"]["fc2"]["bias"]),
+                mods=mods,
+                wl_k=av["weight_layer"]["kernel"],
+                wl_b=av["weight_layer"]["bias"],
+                fin_k=fv["kernel"],
+                fin_b=fv["bias"],
+            )
+            # positional call: custom_vjp + nondiff_argnums
+            frustum = crossview_aggregate(
+                -ndc_all[..., :2],
+                geo,
+                acc_b[0],
+                view_feat_p,
+                k_geo,
+                weights,
+                self.num_heads,
+                64,
+                mode == "interpret",
+            )
+            return frustum.reshape(B, H, W, D, self.output_dim)
+
+        acc_v = (
+            sample(view_feat_p, -ndc_all[..., :2])
+            + proj.part(2, ref_plucker.astype(dt))
+            + proj.part(3, ref_depth_e.astype(dt))
+            + proj.part(6, mask_tok)
+        )  # (V, N, hid)
 
         if self.keep_top_k_views:
             # static window of top_k+1 nearest views by index, wrapping
@@ -246,11 +335,8 @@ class GridAttn(nn.Module):
 
         tokens = jnp.swapaxes(acc_v + acc_b, 0, 1)  # (N, V', hid)
         tokens = nn.gelu(tokens, approximate=False)
-        c = t_embed[:1].astype(dt)  # shared-t conditioning (:438)
-        out, w = AggregationTransformer(
-            self.num_heads, self.num_layers, self.mlp_ratio, dtype=dt, name="aggregator"
-        )(tokens, c)
+        out, w = aggregator(tokens, c)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-2).astype(dt)
         pooled = (out * w).sum(axis=-2)  # (N, hid)
-        frustum = nn.Dense(self.output_dim, dtype=dt, name="final_layer")(pooled)
+        frustum = final_layer(pooled)
         return frustum.reshape(B, H, W, D, self.output_dim)

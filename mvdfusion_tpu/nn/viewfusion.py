@@ -43,6 +43,8 @@ class ViewFusionConfig:
     embed_camera_pose: bool = True
     drop_conditions: bool = False
     timesteps: int = 1000
+    linear_start: float = 0.00085
+    linear_end: float = 0.0120
     time_embed_dim: int = 256
     latent_size: int = 32
     # view_attn_config (configs/mvd_gso.yaml:20-28)
@@ -163,7 +165,7 @@ class ViewFusion(nn.Module):
         # auxiliary time-embed MLP feeding GridAttn (viewfusion:126-132)
         self.time_dense1 = nn.Dense(c.time_embed_dim)
         self.time_dense2 = nn.Dense(c.time_embed_dim)
-        self.sched: DDPMSchedule = make_ddpm_schedule(c.timesteps)
+        self.sched: DDPMSchedule = make_ddpm_schedule(c.timesteps, c.linear_start, c.linear_end)
 
     # ------------------------------------------------------------------ VAE
     def encode_images(self, images: jnp.ndarray) -> jnp.ndarray:

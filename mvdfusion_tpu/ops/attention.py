@@ -1,0 +1,120 @@
+"""Fused multi-head attention as a Pallas TPU kernel.
+
+Why: XLA materializes the (B*heads, N, N) fp32 logits of every softmax
+attention in HBM. At this model's flagship shapes (CFG batch 16, 1024 latent
+tokens, 8 heads) that is ~0.5 GB of HBM traffic *per attention site per
+denoising step* — the single largest bandwidth cost in the UNet
+(SpatialTransformer attn1/attn2 and the grafted ViewAligned attn1,
+nn/unet.py; reference counterparts external/sd1/ldm/modules/attention.py:
+152-193). This kernel keeps the logits block in VMEM: per grid step it loads
+one query tile plus the full K/V for that (batch, head), computes
+scores -> stabilized fp32 softmax -> PV entirely on-chip, and writes only
+the (BQ, dh) output tile.
+
+Scope: non-causal, unmasked, full-row attention with K/V resident in VMEM —
+exactly this model's shapes (N <= 4096 even at the 512^2 stretch config,
+dh <= 512). Head dims are zero-padded to a lane multiple (128): padding K's
+feature dim adds exact zeros to the logits; padding V adds zero output
+columns which are sliced off — bit-equivalent math, no renormalization.
+
+Backward: custom VJP that recomputes the standard XLA attention for
+gradients (rematerialization — training steps are not logits-bandwidth
+bound the way the 50-step sampler is).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# query-tile rows per grid step; 256 keeps the fp32 logits tile at
+# (256, 4096) = 4 MB VMEM worst-case
+_BQ = 256
+_LANE = 128
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (BQ, dh)
+    k = k_ref[0]  # (N, dh)
+    v = v_ref[0]  # (N, dh)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jax.nn.softmax(s * scale, axis=-1)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
+    """q: (B, Nq, H, dh), k/v: (B, Nk, H, dh) -> (B, Nq, H, dh)."""
+    B, Nq, H, dh = q.shape
+    Nk = k.shape[1]
+    dh_p = -(-dh // _LANE) * _LANE
+    bq = _BQ if Nq % _BQ == 0 else Nq
+
+    def fold(x, n):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, n, dh)
+        if dh_p != dh:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, dh_p - dh)))
+        return x
+
+    qf, kf, vf = fold(q, Nq), fold(k, Nk), fold(v, Nk)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=(B * H, Nq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, dh_p), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, dh_p), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, dh_p), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dh_p), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Nq, dh_p), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Nq * Nk * dh_p,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=B * H * Nq * Nk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out[..., :dh].reshape(B, H, Nq, dh)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _xla_attention(q, k, v, scale: float):
+    """Reference path (nn/layers.dot_attention numerics)."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q, k, v, scale: float, interpret: bool = False):
+    return _fused_attention_fwd_impl(q, k, v, scale, interpret)
+
+
+def _fwd(q, k, v, scale, interpret):
+    return _fused_attention_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+
+
+def _bwd(scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)
+
+
+def should_fuse(q, k) -> bool:
+    """Route to the Pallas kernel on TPU for the large-token sites."""
+    if jax.default_backend() != "tpu":
+        return False
+    Nq, Nk = q.shape[1], k.shape[1]
+    if Nq < 256 or Nk < 128:
+        return False
+    # K/V + logits tile must fit VMEM comfortably
+    return Nk <= 4096 and q.shape[-1] <= 512

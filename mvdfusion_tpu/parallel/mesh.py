@@ -86,6 +86,6 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def data_sharding(mesh: Mesh, *leading_dp_axis: int):
+def data_sharding(mesh: Mesh):
     """Sharding for batched data: leading axis over dp, rest replicated."""
     return NamedSharding(mesh, P("dp"))

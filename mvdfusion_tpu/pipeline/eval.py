@@ -52,7 +52,9 @@ def eval_scenes(
             params, model, cams, in_lat, in_cams, clip_v, key, cfg_scale,
             num_steps=num_steps, eta=eta,
         )
-        decode = lambda z: model.apply(params, z, method=ViewFusion.decode_latents)
+        # memory-bounded decode: with N scenes x B views in flight the
+        # reference's single-batch decode would blow HBM at 512^2 outputs
+        decode = lambda z: model.apply(params, z, method=ViewFusion.decode_latents_chunked)
         unnorm = lambda d: jnp.clip((d + 1.0) / 2.0, 0.0, 1.0)
         return EvalOutput(
             pred_rgb=decode(res.latents[..., :4]),

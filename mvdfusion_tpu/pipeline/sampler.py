@@ -8,13 +8,11 @@ compiles to one XLA executable.
 
 Reference semantics: eta=1.0 stochastic DDIM, shared timestep across views,
 `prev_depth` (pred_x0's depth channel) optionally fed to the next step's
-GridAttn (sampler.py:139-140, feed_prev_depth).
-
-Known divergence: with feed_prev_depth=True the reference's FIRST step uses
-the unbiased noisy-depth estimate (prev_depth starts None, sampler.py:116);
-here the first step seeds prev_depth from the input latent's (zeroed) depth
-channel to keep the scan branch-free. All shipped configs run
-feed_prev_depth=False, where behavior is identical.
+GridAttn (sampler.py:139-140, feed_prev_depth). On the FIRST step the
+reference has no prev_depth yet (starts None, sampler.py:116) and GridAttn
+falls back to the unbiased noisy-depth estimate x_t[depth]/sqrt(abar_t)
+(view_attn_efficient2.py:417-425); here that fallback is reproduced
+branch-free with a jnp.where on the step counter.
 """
 
 from __future__ import annotations
@@ -59,11 +57,16 @@ def ddim_sample(
     H = W = cfg.latent_size
     C = cfg.unet_out_channels
 
-    ddim: DDIMSchedule = make_ddim_schedule(cfg.timesteps, num_steps, eta=eta)
+    # endpoints from the model config so a custom beta schedule stays in sync
+    # (tables rebuilt host-side: trace-time jnp constants can't re-enter numpy)
+    ddim: DDIMSchedule = make_ddim_schedule(
+        cfg.timesteps, num_steps, eta=eta,
+        linear_start=cfg.linear_start, linear_end=cfg.linear_end,
+    )
 
     rng, init_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, (B, H, W, C))
-    prev_depth0 = input_latents[..., 4:5] * jnp.ones((B, H, W, 1))
+    prev_depth0 = jnp.zeros((B, H, W, 1))
 
     def step(carry, i):
         x, prev_depth, rng = carry
@@ -71,6 +74,14 @@ def ddim_sample(
         tstep = ddim.timesteps[index]
         t = jnp.full((B,), tstep, jnp.int32)
         rng, k_attn, k_noise = jax.random.split(rng, 3)
+        if feed_prev_depth:
+            # step 0 has no prev_depth yet: use the unbiased estimate
+            # x_t[depth]/sqrt(abar_t) — exactly GridAttn's None branch
+            # (reference sampler.py:116 -> view_attn_efficient2.py:417-425)
+            unbiased = x[..., 4:5] / jnp.sqrt(ddim.alphas[index])
+            attn_depth = jnp.where(i == 0, unbiased, prev_depth)
+        else:
+            attn_depth = None
         noise_pred = model.apply(
             params,
             x,
@@ -81,7 +92,7 @@ def ddim_sample(
             t,
             k_attn,
             cfg_scale,
-            prev_depth=prev_depth if feed_prev_depth else None,
+            prev_depth=attn_depth,
             method=ViewFusion.apply_model_cfg,
         )
         z = jax.random.normal(k_noise, x.shape)

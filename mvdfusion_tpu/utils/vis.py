@@ -56,6 +56,35 @@ def save_depth_artifacts(jpg_path: str, pred_depth, input_depth, gt_depth) -> No
     save_gif(jpg_path.replace(".jpg", "_depth.gif"), list(vis_pred))
 
 
+def _nearest_upsample(x: np.ndarray, factor: int) -> np.ndarray:
+    return np.repeat(np.repeat(x, factor, axis=-3), factor, axis=-2)
+
+
+def save_train_vis_grid(
+    path: str,
+    noise_rgb: np.ndarray,  # (B, H, W, 3) decoded noisy latents
+    pred_rgb: np.ndarray,  # (B, H, W, 3) decoded DDIM sample
+    gt_rgb: np.ndarray,  # (B, H, W, 3)
+    pred_depth: np.ndarray,  # (B, h, w, 1) in [0,1]
+    gt_depth: np.ndarray,  # (B, h, w, 1)
+    input_rgb: Optional[np.ndarray] = None,  # (1, H, W, 3)
+    input_depth: Optional[np.ndarray] = None,  # (1, h, w, 1)
+    concat_input: bool = False,
+) -> None:
+    """Training-time visual-diffusion grid (utils/vis_utils.py:21-93): five
+    stacked rows [noise | pred | gt | pred_depth | gt_depth], views side by
+    side, depths nearest-upsampled to image resolution."""
+    H = pred_rgb.shape[1]
+    factor = H // pred_depth.shape[1]
+    row = lambda imgs: np.concatenate(list(np.clip(imgs, 0.0, 1.0)), axis=1)
+    d3 = lambda d: depth_to_rgb(_nearest_upsample(d, factor))
+    rows = [row(noise_rgb), row(pred_rgb), row(gt_rgb), row(d3(pred_depth)), row(d3(gt_depth))]
+    if concat_input and input_rgb is not None:
+        pre = [row(input_rgb)] * 3 + [row(d3(input_depth))] * 2
+        rows = [np.concatenate([p, r], axis=1) for p, r in zip(pre, rows)]
+    save_image(path, np.concatenate(rows, axis=0))
+
+
 def save_loss_plot(path: str, losses, interval: int = 1) -> None:
     """Loss-curve plot (utils/vis_utils.py:96-105); falls back to a .npy dump
     when matplotlib is unavailable."""

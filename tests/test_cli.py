@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fake_gso(tmp_path_factory):
@@ -45,7 +47,7 @@ dataset:
   params: {{root: '{gso_root}', subset: test, image_size: 64}}
 trainer: {{epochs: 4, lr: 0.0001, train_batch_size: 3, random_views: true, grad_accum_step: 2}}
 inference: {{train_batch_size: 3, cfg_scale: 2.5, eval_num: 1, num_ddim_steps: 2, vis_dir: vis/}}
-saver: {{exp_dir: '{exp_dir}', print_interval: 1, save_interval: 1}}
+saver: {{exp_dir: '{exp_dir}', print_interval: 1, save_interval: 1, vis_interval: 2, vis_ddim_steps: 1}}
 """
     p = tmp_path / "cfg.yaml"
     p.write_text(cfg)
@@ -73,5 +75,8 @@ def test_train_cli_steps_and_resume(fake_gso, tmp_path):
     main(["-c", cfgp, "--tiny", "--max-steps", "2", "--dp", "2", "--tp", "1"])
     ckpts = os.listdir(os.path.join(exp, "ckpt"))
     assert "latest" in ckpts, ckpts
+    # periodic training-time visual sampling (vis_interval=2) wrote a grid
+    vis_files = os.listdir(os.path.join(exp, "vis"))
+    assert any(f.endswith(".jpg") for f in vis_files), vis_files
     # resume picks up the checkpoint
     main(["-c", cfgp, "--tiny", "--max-steps", "1", "--dp", "2", "--tp", "1"])

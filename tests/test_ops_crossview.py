@@ -1,0 +1,56 @@
+"""Fused cross-view Pallas kernel vs the XLA GridAttn path (interpret mode
+on CPU, VERDICT r1 item #1 'done' criterion): identical params + identical
+jitter noise through both paths, outputs must agree to <=1e-3 (fp32)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvdfusion_tpu.core.schedule import make_ddpm_schedule
+from mvdfusion_tpu.geometry import look_at_view_transform
+from mvdfusion_tpu.geometry.cameras import make_cameras
+from mvdfusion_tpu.nn.viewattn import GridAttn
+
+
+def _inputs(rng, V, H, D, hidden):
+    azim = np.linspace(0, 360 * (V - 1) / V, V)
+    R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=azim + 90)
+    cams = make_cameras(R, T, np.full((V, 2), 2.1875), np.zeros((V, 2)))
+    in_cams = make_cameras(R[:1], T[:1], np.full((1, 2), 2.1875), np.zeros((1, 2)))
+    sched = make_ddpm_schedule(1000)
+    return dict(
+        noisy=jnp.asarray(rng.normal(size=(V, H, H, 5)), jnp.float32) * 0.5,
+        cams=cams,
+        mask=jnp.ones((V,)),
+        t_embed=jnp.asarray(rng.normal(size=(V, hidden)), jnp.float32),
+        t=jnp.full((V,), 500, jnp.int32),
+        sched=sched,
+        in_lat=jnp.asarray(rng.normal(size=(1, H, H, 5)), jnp.float32) * 0.5,
+        in_cams=in_cams,
+        jitter=jnp.asarray(rng.normal(size=(V, H, H, D)), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("V,H,D", [(3, 8, 1), (4, 8, 3)])
+def test_crossview_kernel_matches_xla_path(rng, V, H, D):
+    hidden, heads, layers, out_dim = 32, 4, 2, 48
+    kw = dict(
+        input_size=H, in_channels=5, hidden_size=hidden, output_dim=out_dim,
+        num_heads=heads, num_layers=layers, n_pts_per_ray=D,
+    )
+    xla_mod = GridAttn(crossview_kernel="never", **kw)
+    ker_mod = GridAttn(crossview_kernel="interpret", **kw)
+    i = _inputs(rng, V, H, D, hidden)
+    args = (
+        i["noisy"], i["cams"], i["mask"], i["t_embed"], i["t"], i["sched"],
+        i["in_lat"], i["in_cams"], jax.random.PRNGKey(1),
+    )
+    params = xla_mod.init(jax.random.PRNGKey(0), *args, jitter_noise=i["jitter"])
+    ref = np.asarray(xla_mod.apply(params, *args, jitter_noise=i["jitter"]))
+    out = np.asarray(ker_mod.apply(params, *args, jitter_noise=i["jitter"]))
+    assert out.shape == ref.shape == (V, H, H, D, out_dim)
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+    # and they should agree far tighter than the 1e-3 bar in fp32
+    assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()

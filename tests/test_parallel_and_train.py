@@ -4,6 +4,9 @@ on the virtual 8-device CPU mesh (SURVEY.md §4 distributed strategy)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from mvdfusion_tpu.nn.viewfusion import ViewFusion, ViewFusionConfig
 from mvdfusion_tpu.parallel.mesh import make_mesh, param_shardings

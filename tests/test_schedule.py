@@ -51,6 +51,20 @@ def test_ddim_sigma_formula_eta1():
     np.testing.assert_allclose(np.asarray(d.alphas_prev), alphas_prev, rtol=1e-6)
 
 
+def test_ddim_schedule_derives_from_custom_ddpm():
+    """A non-default beta schedule must flow into the DDIM tables (the DDIM
+    builder reads the passed DDPMSchedule's alphas_cumprod, not hardcoded SD
+    endpoints)."""
+    s_custom = make_ddpm_schedule(1000, linear_start=0.002, linear_end=0.02)
+    d_custom = make_ddim_schedule(s_custom, 50, eta=1.0)
+    ts = np.arange(0, 1000, 20) + 1
+    ac = np.asarray(s_custom.alphas_cumprod, dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(d_custom.alphas), ac[ts], rtol=1e-6)
+    # and it must differ from the default-endpoint tables
+    d_default = make_ddim_schedule(1000, 50, eta=1.0)
+    assert np.abs(np.asarray(d_custom.alphas) - np.asarray(d_default.alphas)).max() > 1e-3
+
+
 def test_q_sample_predict_start_roundtrip(rng):
     s = make_ddpm_schedule(1000)
     x0 = jnp.asarray(rng.normal(size=(4, 8, 8, 5)), jnp.float32)

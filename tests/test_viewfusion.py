@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mvdfusion_tpu.geometry import look_at_view_transform
 from mvdfusion_tpu.nn.viewfusion import ViewFusion, ViewFusionConfig
 from mvdfusion_tpu.pipeline.sampler import ddim_sample
@@ -119,6 +121,38 @@ def test_ddim_sample_runs(tiny_model):
     ls = model.cfg.latent_size
     assert res.latents.shape == (B, ls, ls, 5)
     assert np.isfinite(np.asarray(res.latents)).all()
+
+
+def test_feed_prev_depth_step0_matches_unbiased_estimate(tiny_model):
+    """Reference sampler.py:116: prev_depth starts None, so the FIRST step
+    with feed_prev_depth=True must equal the feed_prev_depth=False path
+    (GridAttn's unbiased x_t/sqrt(abar) fallback). With >1 steps they must
+    diverge (later steps feed pred_x0's depth)."""
+    model, params, batch = tiny_model
+    # freshly-initialized params zero the UNet's final conv (SD zero_module
+    # init), making the whole model constant-zero; perturb every leaf so the
+    # sampler actually depends on the attention depth
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.02 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)],
+    )
+    _, cams, in_latents, in_cams, clip_v = jax.jit(
+        lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch)
+    )(
+        params,
+        batch["images"], batch["R"], batch["T"], batch["f"], batch["c"],
+        batch["input_idx"], batch["target_idx"],
+    )
+    run = lambda steps, fpd: ddim_sample(
+        params, model, cams, in_latents, in_cams, clip_v,
+        jax.random.PRNGKey(3), jnp.asarray(2.5), num_steps=steps, feed_prev_depth=fpd,
+    ).latents
+    one_a, one_b = run(1, True), run(1, False)
+    np.testing.assert_allclose(np.asarray(one_a), np.asarray(one_b), atol=1e-5)
+    two_a, two_b = run(2, True), run(2, False)
+    assert np.abs(np.asarray(two_a) - np.asarray(two_b)).max() > 1e-5
 
 
 def test_decode_roundtrip_shapes(tiny_model):
