@@ -120,17 +120,6 @@ def main() -> None:
         _ = float(carry)
         log(f"[bench:{tag}] warmup(compile+upload+run) {time.time()-t0:.1f}s")
 
-        # XLA's own FLOP count for the honest MFU denominator
-        tflops = None
-        try:
-            cost = gen_reduce.lower(
-                params, jax.random.PRNGKey(2), jnp.zeros((), jnp.float32)
-            ).compile().cost_analysis()
-            if cost and "flops" in cost:
-                tflops = float(cost["flops"]) / 1e12
-        except Exception as e:  # pragma: no cover
-            log(f"[bench:{tag}] cost_analysis unavailable: {e}")
-
         times = []
         for i in range(args.iters):
             if args.profile and i == 2:
@@ -145,13 +134,6 @@ def main() -> None:
         steady = sorted(times[1:])[len(times[1:]) // 2]
         vps = n_views / steady
         log(f"[bench:{tag}] times={['%.2f' % t for t in times]}s steady={steady:.3f}s views/s={vps:.3f}")
-        if tflops is not None:
-            achieved = tflops / steady
-            mfu = achieved / peak if peak else float("nan")
-            log(
-                f"[bench:{tag}] xla_flops={tflops:.1f} TFLOP/scene "
-                f"achieved={achieved:.1f} TFLOP/s MFU={mfu*100:.1f}%"
-            )
 
         # component breakdown: one CFG denoising step and the decode
         B = clip_v.shape[0]
@@ -194,6 +176,28 @@ def main() -> None:
             f"decode {dec_ms:.1f} ms; scan total {steady:.2f}s "
             f"(overhead {steady - step_ms*steps/1e3 - dec_ms/1e3:+.2f}s)"
         )
+
+        # honest MFU: XLA's FLOP count for ONE step (cost_analysis does not
+        # multiply the scan trip count) x steps + decode, over measured time
+        try:
+            step_fl = float(
+                one_step.lower(params, x, jnp.zeros((), jnp.float32))
+                .compile().cost_analysis()["flops"]
+            )
+            dec_fl = float(
+                dec_step.lower(params, z, jnp.zeros((), jnp.float32))
+                .compile().cost_analysis()["flops"]
+            )
+            tflops = (step_fl * steps + dec_fl) / 1e12
+            achieved = tflops / steady
+            mfu = achieved / peak if peak else float("nan")
+            log(
+                f"[bench:{tag}] xla_flops={tflops:.1f} TFLOP/scene "
+                f"({step_fl/1e12:.2f}/step) achieved={achieved:.1f} TFLOP/s "
+                f"MFU={mfu*100:.1f}%"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"[bench:{tag}] cost_analysis unavailable: {e}")
         return vps
 
     vps = bench_workload(ViewFusionConfig(), n_views, img, steps, "main")

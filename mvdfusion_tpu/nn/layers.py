@@ -135,8 +135,19 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.dim_head
+        if not is_self and x.shape[1] == 1 and context.shape[1] == 1:
+            # 1-query x 1-key attention (the D=1 per-pixel frustum case,
+            # reference attention.py:56-62): softmax over a single key is
+            # exactly 1, so out == to_out(to_v(ctx)) — skip q/k entirely
+            # and the pathological (B*HW)-batched 1x1 matmuls with them.
+            if self.is_initializing():  # params must still exist for ckpts
+                nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+                nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+            return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(v)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)

@@ -37,12 +37,12 @@ _BQ = 256
 _LANE = 128
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]  # (BQ, dh)
-    k = k_ref[0]  # (N, dh)
+    kt = kt_ref[0]  # (dh, N) — pre-transposed so the MXU sees a plain matmul
     v = v_ref[0]  # (N, dh)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     p = jax.nn.softmax(s * scale, axis=-1)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -63,12 +63,13 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
         return x
 
     qf, kf, vf = fold(q, Nq), fold(k, Nk), fold(v, Nk)
+    kf = jnp.swapaxes(kf, 1, 2)  # (B*H, dh, Nk)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=(B * H, Nq // bq),
         in_specs=[
             pl.BlockSpec((1, bq, dh_p), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nk, dh_p), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh_p, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nk, dh_p), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, dh_p), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
