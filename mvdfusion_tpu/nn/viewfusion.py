@@ -296,6 +296,7 @@ class ViewFusion(nn.Module):
         rng: jax.Array,
         prev_depth: Optional[jnp.ndarray] = None,
         cond_drop_rng: Optional[jax.Array] = None,
+        attn_jitter_noise: Optional[jnp.ndarray] = None,  # parity harness hook
     ) -> jnp.ndarray:
         """Single conditional pass (training / cfg_scale == 1)."""
         B = noisy_latents.shape[0]
@@ -311,6 +312,7 @@ class ViewFusion(nn.Module):
             input_cameras,
             rng,
             overwrite_attn_depth=prev_depth,
+            jitter_noise=attn_jitter_noise,
         )
         clip_embed = self.cc_projection(clip_v_embed)
         x, levels = self._unet_inputs(noisy_latents, input_latents, frustum)
@@ -342,6 +344,7 @@ class ViewFusion(nn.Module):
         rng: jax.Array,
         cfg_scale: jnp.ndarray,
         prev_depth: Optional[jnp.ndarray] = None,
+        attn_jitter_noise: Optional[jnp.ndarray] = None,  # parity harness hook
     ) -> jnp.ndarray:
         """Classifier-free-guided pass (unet.py:166-196), batched.
 
@@ -362,6 +365,7 @@ class ViewFusion(nn.Module):
             input_cameras,
             rng,
             overwrite_attn_depth=prev_depth,
+            jitter_noise=attn_jitter_noise,
         )
         clip_embed = self.cc_projection(clip_v_embed)
         x_cond, levels = self._unet_inputs(noisy_latents, input_latents, frustum)

@@ -149,6 +149,94 @@ def test_full_viewfusion_checkpoint_round_trip(flax_params):
     assert changed == len(flat), f"only {changed}/{len(flat)} params changed"
 
 
+def test_full_apply_model_cfg_parity(flax_params):
+    """The whole denoising core — GridAttn -> cc_projection -> volume
+    pyramid -> grafted UNet with CFG — against a torch composition of the
+    reference semantics, through converted weights and a shared depth-jitter
+    stream. This is the 'full apply_model' golden test SURVEY.md §4 calls
+    for (reference viewfusion_zero_depth_rgb.py:282-345 + unet.py:166-209)."""
+    import torch
+    import torch.nn.functional as F
+
+    from mvdfusion_tpu.core.schedule import make_ddpm_schedule
+    from mvdfusion_tpu.geometry import look_at_view_transform
+    from mvdfusion_tpu.geometry.cameras import make_cameras
+
+    cfg, params = flax_params
+    tm = torch_ref.randomize_(torch_ref.ViewFusion(
+        mc=cfg.unet_model_channels, context_dim=cfg.context_dim,
+        va_hidden=cfg.viewattn_hidden, va_layers=cfg.viewattn_layers,
+        va_heads=cfg.viewattn_heads, vae_ch=cfg.vae_ch,
+        clip_width=cfg.clip_width, clip_layers=cfg.clip_layers,
+        clip_heads=cfg.clip_heads, time_embed_dim=cfg.time_embed_dim,
+        image_size=cfg.latent_size,
+    ), std=0.04, seed=11).eval()
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = apply_mapping(params, state, viewfusion_mapping(cfg), verbose=False, strict=True)
+
+    model = ViewFusion(cfg)
+    B = 3
+    H = cfg.latent_size
+    rng = np.random.default_rng(4)
+    azim = np.linspace(0, 360 * (B - 1) / B, B)
+    R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=azim + 90)
+    f = np.full((B, 2), 2.1875, np.float32)
+    c = np.zeros((B, 2), np.float32)
+    noisy = rng.normal(size=(B, H, H, 5)).astype(np.float32) * 0.5
+    in_lat = rng.normal(size=(1, H, H, 5)).astype(np.float32) * 0.5
+    clip_v = rng.normal(size=(B, 1, cfg.context_dim + 28)).astype(np.float32)
+    t = np.full((B,), 500, np.int64)
+    jitter = rng.normal(size=(B, H, H, 1)).astype(np.float32)
+    scale = 2.5
+
+    ours = np.asarray(model.apply(
+        params, jnp.asarray(noisy), make_cameras(R, T, f, c), jnp.asarray(in_lat),
+        make_cameras(R[:1], T[:1], f[:1], c[:1]), jnp.asarray(clip_v),
+        jnp.asarray(t, jnp.int32), jax.random.PRNGKey(0), jnp.asarray(scale),
+        attn_jitter_noise=jnp.asarray(jitter),
+        method=ViewFusion.apply_model_cfg,
+    ))
+
+    sched = make_ddpm_schedule(cfg.timesteps)
+    with torch.no_grad():
+        tt = torch.from_numpy(t)
+        t_embed = tm.time_embed(torch_ref.timestep_embedding(tt, cfg.time_embed_dim))
+        frustum = tm.view_attn(
+            torch.from_numpy(noisy).permute(0, 3, 1, 2),
+            tuple(torch.from_numpy(a) for a in (R, T, f, c)),
+            torch.ones(B), t_embed, tt,
+            torch.from_numpy(np.asarray(sched.sqrt_alphas_cumprod)),
+            torch.from_numpy(np.asarray(sched.sqrt_one_minus_alphas_cumprod)),
+            torch.from_numpy(in_lat).permute(0, 3, 1, 2),
+            tuple(torch.from_numpy(a[:1]) for a in (R, T, f, c)),
+            torch.from_numpy(jitter).permute(0, 3, 1, 2),
+        )  # (B, H, W, D, C)
+        ctx = tm.cc_projection(torch.from_numpy(clip_v))
+        # volume pyramid: area interp to each level (unet.py:198-209)
+        D, C = frustum.shape[3], frustum.shape[4]
+        fr = frustum.permute(0, 3, 4, 1, 2).reshape(B, D * C, H, H)
+        vols = [
+            F.avg_pool2d(fr, 2**i).reshape(B, D, C, H // 2**i, H // 2**i)
+            .permute(0, 3, 4, 1, 2) if i else frustum
+            for i in range(4)
+        ]
+        # concat conditioning with the zero123 scale quirk (unet.py:153-158)
+        in_t = torch.from_numpy(in_lat).permute(0, 3, 1, 2).expand(B, -1, -1, -1)
+        x_cat = torch.cat([in_t[:, :4] / cfg.z_scale_factor, in_t[:, 4:]], 1)
+        x_cond = torch.cat([torch.from_numpy(noisy).permute(0, 3, 1, 2), x_cat], 1)
+        x_null = torch.cat(
+            [torch.from_numpy(noisy).permute(0, 3, 1, 2), torch.zeros_like(x_cat)], 1
+        )
+        unet = tm.unet_model.unet_model
+        s = unet(x_cond, tt, ctx, vols)
+        s_uc = unet(x_null, tt, torch.zeros_like(ctx), [torch.zeros_like(v) for v in vols])
+        ref = (s_uc + scale * (s - s_uc)).permute(0, 2, 3, 1).numpy()
+
+    assert ours.shape == ref.shape == (B, H, H, 5)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+    assert np.abs(ours - ref).max() < 1e-3, np.abs(ours - ref).max()
+
+
 def test_zero123_unet_surgery_round_trip(flax_params):
     """Pre-surgery zero123 layout -> surgery -> mapping. The stock UNet has
     no grafted layers and 8-in/4-out convs; after key surgery every UNet row
