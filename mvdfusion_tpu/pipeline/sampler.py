@@ -50,8 +50,16 @@ def ddim_sample(
     eta: float = 1.0,
     feed_prev_depth: bool = False,
     return_trajectory: bool = False,
+    init_noise: Optional[jnp.ndarray] = None,  # (B, H, W, C)
+    step_noise: Optional[jnp.ndarray] = None,  # (S, B, H, W, C) DDIM z draws
+    jitter_noise: Optional[jnp.ndarray] = None,  # (S, B, H, W, D) GridAttn jitter
 ) -> SampleResult:
-    """Generate B views of 5-channel (RGB-D) latents."""
+    """Generate B views of 5-channel (RGB-D) latents.
+
+    The three *_noise arguments override the internal PRNG draws (the
+    reference's torch.randn at sampler.py:104, torch.randn at sampler.py:64
+    and torch.normal at view_attn_efficient2.py:431) so parity harnesses can
+    drive both implementations from one shared noise stream."""
     cfg = model.cfg
     B = clip_v_embed.shape[0]
     H = W = cfg.latent_size
@@ -65,7 +73,7 @@ def ddim_sample(
     )
 
     rng, init_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, (B, H, W, C))
+    x = jax.random.normal(init_rng, (B, H, W, C)) if init_noise is None else init_noise
     prev_depth0 = jnp.zeros((B, H, W, 1))
 
     def step(carry, i):
@@ -93,9 +101,10 @@ def ddim_sample(
             k_attn,
             cfg_scale,
             prev_depth=attn_depth,
+            attn_jitter_noise=None if jitter_noise is None else jitter_noise[i],
             method=ViewFusion.apply_model_cfg,
         )
-        z = jax.random.normal(k_noise, x.shape)
+        z = jax.random.normal(k_noise, x.shape) if step_noise is None else step_noise[i]
         x_prev, pred_x0 = ddim_step(ddim, x, noise_pred, index, z)
         new_depth = pred_x0[..., 4:5]
         out = pred_x0 if return_trajectory else jnp.zeros((), x.dtype)

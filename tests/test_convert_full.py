@@ -156,9 +156,7 @@ def test_full_apply_model_cfg_parity(flax_params):
     stream. This is the 'full apply_model' golden test SURVEY.md §4 calls
     for (reference viewfusion_zero_depth_rgb.py:282-345 + unet.py:166-209)."""
     import torch
-    import torch.nn.functional as F
 
-    from mvdfusion_tpu.core.schedule import make_ddpm_schedule
     from mvdfusion_tpu.geometry import look_at_view_transform
     from mvdfusion_tpu.geometry.cameras import make_cameras
 
@@ -197,44 +195,103 @@ def test_full_apply_model_cfg_parity(flax_params):
         method=ViewFusion.apply_model_cfg,
     ))
 
-    sched = make_ddpm_schedule(cfg.timesteps)
-    with torch.no_grad():
-        tt = torch.from_numpy(t)
-        t_embed = tm.time_embed(torch_ref.timestep_embedding(tt, cfg.time_embed_dim))
-        frustum = tm.view_attn(
-            torch.from_numpy(noisy).permute(0, 3, 1, 2),
-            tuple(torch.from_numpy(a) for a in (R, T, f, c)),
-            torch.ones(B), t_embed, tt,
-            torch.from_numpy(np.asarray(sched.sqrt_alphas_cumprod)),
-            torch.from_numpy(np.asarray(sched.sqrt_one_minus_alphas_cumprod)),
-            torch.from_numpy(in_lat).permute(0, 3, 1, 2),
-            tuple(torch.from_numpy(a[:1]) for a in (R, T, f, c)),
-            torch.from_numpy(jitter).permute(0, 3, 1, 2),
-        )  # (B, H, W, D, C)
-        ctx = tm.cc_projection(torch.from_numpy(clip_v))
-        # volume pyramid: area interp to each level (unet.py:198-209)
-        D, C = frustum.shape[3], frustum.shape[4]
-        fr = frustum.permute(0, 3, 4, 1, 2).reshape(B, D * C, H, H)
-        vols = [
-            F.avg_pool2d(fr, 2**i).reshape(B, D, C, H // 2**i, H // 2**i)
-            .permute(0, 3, 4, 1, 2) if i else frustum
-            for i in range(4)
-        ]
-        # concat conditioning with the zero123 scale quirk (unet.py:153-158)
-        in_t = torch.from_numpy(in_lat).permute(0, 3, 1, 2).expand(B, -1, -1, -1)
-        x_cat = torch.cat([in_t[:, :4] / cfg.z_scale_factor, in_t[:, 4:]], 1)
-        x_cond = torch.cat([torch.from_numpy(noisy).permute(0, 3, 1, 2), x_cat], 1)
-        x_null = torch.cat(
-            [torch.from_numpy(noisy).permute(0, 3, 1, 2), torch.zeros_like(x_cat)], 1
-        )
-        unet = tm.unet_model.unet_model
-        s = unet(x_cond, tt, ctx, vols)
-        s_uc = unet(x_null, tt, torch.zeros_like(ctx), [torch.zeros_like(v) for v in vols])
-        ref = (s_uc + scale * (s - s_uc)).permute(0, 2, 3, 1).numpy()
+    rs = torch_ref.ReferenceSampler(
+        tm,
+        tuple(torch.from_numpy(a) for a in (R, T, f, c)),
+        torch.from_numpy(in_lat).permute(0, 3, 1, 2),
+        tuple(torch.from_numpy(a[:1]) for a in (R, T, f, c)),
+        torch.from_numpy(clip_v),
+        time_embed_dim=cfg.time_embed_dim,
+        z_scale_factor=cfg.z_scale_factor,
+        timesteps=cfg.timesteps,
+    )
+    ref = rs.apply_model_cfg(
+        torch.from_numpy(noisy).permute(0, 3, 1, 2),
+        torch.from_numpy(t),
+        torch.from_numpy(jitter).permute(0, 3, 1, 2),
+        scale,
+    ).permute(0, 2, 3, 1).numpy()
 
     assert ours.shape == ref.shape == (B, H, H, 5)
     np.testing.assert_allclose(ours, ref, atol=2e-3)
     assert np.abs(ours - ref).max() < 1e-3, np.abs(ours - ref).max()
+
+
+def test_full_ddim_trajectory_parity(flax_params):
+    """End-to-end shared-noise DDIM trajectory parity (BASELINE.md north
+    star, reference sampler.py:90-148): 4 steps of the full CFG denoising
+    loop with feed_prev_depth=True. The init latent, per-step DDIM z draws
+    and per-step GridAttn jitter are injected identically into our
+    lax.scan-compiled sampler and the torch reference loop; the pred_x0
+    trajectory and final latents must match. This exercises the scan index
+    order, the +1 DDIM timestep offset, eta=1 sigma tables, the step-0
+    unbiased-depth fallback and the prev_depth feed in composition."""
+    import torch
+
+    from mvdfusion_tpu.geometry import look_at_view_transform
+    from mvdfusion_tpu.geometry.cameras import make_cameras
+    from mvdfusion_tpu.pipeline.sampler import ddim_sample
+
+    cfg, params = flax_params
+    tm = torch_ref.randomize_(torch_ref.ViewFusion(
+        mc=cfg.unet_model_channels, context_dim=cfg.context_dim,
+        va_hidden=cfg.viewattn_hidden, va_layers=cfg.viewattn_layers,
+        va_heads=cfg.viewattn_heads, vae_ch=cfg.vae_ch,
+        clip_width=cfg.clip_width, clip_layers=cfg.clip_layers,
+        clip_heads=cfg.clip_heads, time_embed_dim=cfg.time_embed_dim,
+        image_size=cfg.latent_size,
+    ), std=0.04, seed=11).eval()
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = apply_mapping(params, state, viewfusion_mapping(cfg), verbose=False, strict=True)
+
+    model = ViewFusion(cfg)
+    B, S = 3, 4
+    H = cfg.latent_size
+    rng = np.random.default_rng(7)
+    azim = np.linspace(0, 360 * (B - 1) / B, B)
+    R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=azim + 90)
+    f = np.full((B, 2), 2.1875, np.float32)
+    c = np.zeros((B, 2), np.float32)
+    in_lat = (rng.normal(size=(1, H, H, 5)) * 0.5).astype(np.float32)
+    clip_v = (rng.normal(size=(B, 1, cfg.context_dim + 28)) * 0.3).astype(np.float32)
+    init = rng.normal(size=(B, H, H, 5)).astype(np.float32)
+    zstep = rng.normal(size=(S, B, H, H, 5)).astype(np.float32)
+    jitter = rng.normal(size=(S, B, H, H, 1)).astype(np.float32)
+    scale = 2.5
+
+    res = ddim_sample(
+        params, model, make_cameras(R, T, f, c), jnp.asarray(in_lat),
+        make_cameras(R[:1], T[:1], f[:1], c[:1]), jnp.asarray(clip_v),
+        jax.random.PRNGKey(0), jnp.asarray(scale), num_steps=S,
+        feed_prev_depth=True, return_trajectory=True,
+        init_noise=jnp.asarray(init), step_noise=jnp.asarray(zstep),
+        jitter_noise=jnp.asarray(jitter),
+    )
+    ours_final = np.asarray(res.latents)
+    ours_traj = np.asarray(res.pred_x0_trajectory)
+
+    rs = torch_ref.ReferenceSampler(
+        tm,
+        tuple(torch.from_numpy(a) for a in (R, T, f, c)),
+        torch.from_numpy(in_lat).permute(0, 3, 1, 2),
+        tuple(torch.from_numpy(a[:1]) for a in (R, T, f, c)),
+        torch.from_numpy(clip_v),
+        time_embed_dim=cfg.time_embed_dim,
+        z_scale_factor=cfg.z_scale_factor,
+        timesteps=cfg.timesteps,
+    )
+    ref_final, ref_traj = rs.ddim_sample(
+        torch.from_numpy(init).permute(0, 3, 1, 2),
+        torch.from_numpy(zstep).permute(0, 1, 4, 2, 3),
+        torch.from_numpy(jitter).permute(0, 1, 4, 2, 3),
+        scale, S, feed_prev_depth=True,
+    )
+    ref_final = ref_final.permute(0, 2, 3, 1).numpy()
+    ref_traj = ref_traj.permute(0, 1, 3, 4, 2).numpy()
+
+    assert ours_traj.shape == ref_traj.shape == (S, B, H, H, 5)
+    np.testing.assert_allclose(ours_traj, ref_traj, atol=6e-3)
+    np.testing.assert_allclose(ours_final, ref_final, atol=6e-3)
 
 
 def test_zero123_unet_surgery_round_trip(flax_params):

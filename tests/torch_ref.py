@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -836,3 +838,94 @@ def randomize_(module, std=0.05, seed=0):
         for p in module.parameters():
             p.copy_(torch.randn(p.shape, generator=g) * std)
     return module
+
+
+class ReferenceSampler:
+    """The reference's denoising core + DDIM loop over the torch replica,
+    with every stochastic draw injected.
+
+    Composes apply_model (viewfusion_zero_depth_rgb.py:282-345: time embed ->
+    GridAttn -> cc_projection -> volume pyramid -> grafted UNet), CFG as two
+    sequential passes combined s_uc + scale*(s - s_uc) (unet.py:166-196), and
+    the eta-DDIM loop with the +1 timestep offset (sampler.py:25-66,90-148,
+    util.py:46-61). Conditions (cameras, input latent, clip embedding) are
+    scene-fixed at construction.
+    """
+
+    def __init__(self, tm, cams, in_lat, in_cams, clip_v, time_embed_dim,
+                 z_scale_factor=0.18215, timesteps=1000,
+                 linear_start=0.00085, linear_end=0.0120, n_levels=4):
+        self.tm = tm
+        self.cams = cams  # (R, T, f, c) torch tensors, target views
+        self.in_lat = in_lat  # (1, 5, H, W)
+        self.in_cams = in_cams
+        self.clip_v = clip_v  # (B, 1, ctx+28)
+        self.time_embed_dim = time_embed_dim
+        self.z_scale_factor = z_scale_factor
+        self.n_levels = n_levels
+        betas = np.linspace(linear_start**0.5, linear_end**0.5, timesteps,
+                            dtype=np.float64) ** 2
+        self.abar = np.cumprod(1.0 - betas)
+        self.sqrt_acp = torch.from_numpy(np.sqrt(self.abar).astype(np.float32))
+        self.sqrt_1macp = torch.from_numpy(np.sqrt(1.0 - self.abar).astype(np.float32))
+        self.timesteps = timesteps
+
+    @torch.no_grad()
+    def apply_model_cfg(self, x, t, jitter, scale, prev_depth=None):
+        """x (B,5,H,W); t (B,) long; jitter (B,D,H,W); returns eps (B,5,H,W)."""
+        tm = self.tm
+        B, _, H, W = x.shape
+        t_embed = tm.time_embed(timestep_embedding(t, self.time_embed_dim))
+        frustum = tm.view_attn(
+            x, self.cams, torch.ones(B), t_embed, t,
+            self.sqrt_acp, self.sqrt_1macp,
+            self.in_lat, self.in_cams, jitter, overwrite_attn_depth=prev_depth,
+        )  # (B, H, W, D, C)
+        ctx = tm.cc_projection(self.clip_v)
+        D, C = frustum.shape[3], frustum.shape[4]
+        fr = frustum.permute(0, 3, 4, 1, 2).reshape(B, D * C, H, W)
+        vols = [
+            F.avg_pool2d(fr, 2**i).reshape(B, D, C, H // 2**i, W // 2**i)
+            .permute(0, 3, 4, 1, 2) if i else frustum
+            for i in range(self.n_levels)
+        ]
+        in_t = self.in_lat.expand(B, -1, -1, -1)
+        # zero123 scale quirk: RGB latent un-scaled before concat (unet.py:153-158)
+        x_cat = torch.cat([in_t[:, :4] / self.z_scale_factor, in_t[:, 4:]], 1)
+        unet = tm.unet_model.unet_model
+        s = unet(torch.cat([x, x_cat], 1), t, ctx, vols)
+        s_uc = unet(torch.cat([x, torch.zeros_like(x_cat)], 1), t,
+                    torch.zeros_like(ctx), [torch.zeros_like(v) for v in vols])
+        return s_uc + scale * (s - s_uc)
+
+    @torch.no_grad()
+    def ddim_sample(self, init_noise, step_noise, jitter_noise, scale,
+                    num_steps, eta=1.0, feed_prev_depth=False):
+        """DDIM loop, noise in scan order: step_noise[k]/jitter_noise[k] are
+        consumed by the k-th APPLIED step (k=0 is the highest timestep).
+        Returns (final x, pred_x0 trajectory in scan order)."""
+        S = num_steps
+        ts = np.arange(0, self.timesteps, self.timesteps // S) + 1
+        a_t = self.abar[ts]
+        a_prev = np.concatenate([self.abar[0:1], a_t[:-1]])
+        sigmas = eta * np.sqrt((1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev))
+
+        B = self.clip_v.shape[0]
+        x = init_noise.clone()
+        prev_depth = None
+        traj = []
+        for k in range(S):
+            index = S - 1 - k
+            t = torch.full((B,), int(ts[index]), dtype=torch.long)
+            pd = None
+            if feed_prev_depth:
+                pd = (x[:, 4:5] / np.sqrt(a_t[index])) if k == 0 else prev_depth
+            eps = self.apply_model_cfg(x, t, jitter_noise[k], scale, prev_depth=pd)
+            pred_x0 = (x - float(np.sqrt(1 - a_t[index])) * eps) / float(np.sqrt(a_t[index]))
+            dir_xt = float(np.sqrt(max(1 - a_prev[index] - sigmas[index] ** 2, 1e-7))) * eps
+            x = float(np.sqrt(a_prev[index])) * pred_x0 + dir_xt
+            if index != 0:  # final step adds no noise (sampler.py:63-65)
+                x = x + float(sigmas[index]) * step_noise[k]
+            prev_depth = pred_x0[:, 4:5]
+            traj.append(pred_x0)
+        return x, torch.stack(traj)
