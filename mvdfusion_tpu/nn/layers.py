@@ -39,19 +39,56 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) ->
     return emb
 
 
+class _ScaleBias(nn.Module):
+    """Bare scale/bias params, named to match nn.GroupNorm's pytree slot so
+    the checkpoint mapping tables stay valid."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in fp32, output cast back to input dtype."""
+    """GroupNorm(32) computed in fp32, output cast back to input dtype.
+
+    `act="silu"` fuses the x*sigmoid(x) that follows nearly every GroupNorm
+    in the SD towers. On TPU this routes to the fused Pallas kernel
+    (ops/groupnorm.py) — the C/G=10..40 lane-strided group statistics are
+    XLA:TPU's worst-fused pattern (~13% of the profiled denoising step);
+    elsewhere an equivalent fp32 XLA path runs (flax.linen.GroupNorm
+    variance semantics: E[x^2] - E[x]^2)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        orig_dtype = x.dtype
-        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon, dtype=jnp.float32)(
-            x.astype(jnp.float32)
+        from mvdfusion_tpu.ops.groupnorm import group_norm_act, should_fuse_gn
+
+        C = x.shape[-1]
+        scale, bias = _ScaleBias(C, name="GroupNorm_0")()
+        if not self.is_initializing() and should_fuse_gn(x.shape, self.num_groups):
+            y = group_norm_act(
+                x.reshape(x.shape[0], -1, C), scale, bias,
+                self.num_groups, self.epsilon, self.act,
+            )
+            return y.reshape(x.shape)
+        xs = x.astype(jnp.float32).reshape(
+            *x.shape[:-1], self.num_groups, C // self.num_groups
         )
-        return y.astype(orig_dtype)
+        red = tuple(range(1, xs.ndim - 2)) + (xs.ndim - 1,)
+        mu = jnp.mean(xs, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(xs), axis=red, keepdims=True) - jnp.square(mu)
+        y = ((xs - mu) * jax.lax.rsqrt(var + self.epsilon)).reshape(x.shape)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        if self.act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(x.dtype)
 
 
 class LayerNormFp32(nn.Module):

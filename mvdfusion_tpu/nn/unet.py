@@ -49,13 +49,11 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", name="norm2")(h)
         h = nn.Conv(
             self.out_channels, (3, 3), dtype=self.dtype, kernel_init=nn.initializers.zeros, name="conv2"
         )(h)
@@ -287,8 +285,7 @@ class UNetModel(nn.Module):
                     h = Upsample(ch, dtype=self.dtype, name=f"up_{level}_upsample")(h)
                     ds //= 2
 
-        h = GroupNorm32(name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", name="norm_out")(h)
         h = nn.Conv(
             self.out_channels,
             (3, 3),

@@ -34,11 +34,9 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = GroupNorm32(epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Dense(self.out_channels, dtype=self.dtype, name="nin_shortcut")(x)
@@ -104,8 +102,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm_out")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
 
@@ -131,8 +128,7 @@ class Decoder(nn.Module):
                 h = VAEResnetBlock(self.ch * self.ch_mult[level], dtype=self.dtype, name=f"up_{level}_block_{i}")(h)
             if level != 0:
                 h = VAEUpsample(dtype=self.dtype, name=f"up_{level}_upsample")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm_out")(h)
         return nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
 
 

@@ -13,9 +13,12 @@ the (BQ, dh) output tile.
 
 Scope: non-causal, unmasked, full-row attention with K/V resident in VMEM —
 exactly this model's shapes (N <= 4096 even at the 512^2 stretch config,
-dh <= 512). Head dims are zero-padded to a lane multiple (128): padding K's
-feature dim adds exact zeros to the logits; padding V adds zero output
-columns which are sliced off — bit-equivalent math, no renormalization.
+dh <= 512). Head dims stay NATIVE (dh=40 for the 320ch/8-head UNet sites):
+Mosaic pads the lane dim inside VMEM where needed, but HBM traffic and the
+XLA-side layout stay unpadded — padding q/k/v to 128 lanes in XLA costs 3.2x
+the bandwidth plus pad/copy fusions for zero MXU savings (the MXU pass count
+is ceil(dh/128) either way). dh is only rounded up to the fp32 sublane tile
+(8) so the pre-transposed K block keeps a legal second-minor dim.
 
 Backward: custom VJP that recomputes the standard XLA attention for
 gradients (rematerialization — training steps are not logits-bandwidth
@@ -31,10 +34,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# query-tile rows per grid step; 256 keeps the fp32 logits tile at
-# (256, 4096) = 4 MB VMEM worst-case
-_BQ = 256
-_LANE = 128
+# fp32 logits-tile VMEM budget: bq = LOGIT_BUDGET/Nk rows per grid step
+# (measured on v5e at (16,1024,8,40): bq=1024 beats 512 beats 256)
+_LOGIT_BUDGET = 4 * 1024 * 1024
+_SUBLANE = 8
 
 
 def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
@@ -53,8 +56,12 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
     """q: (B, Nq, H, dh), k/v: (B, Nk, H, dh) -> (B, Nq, H, dh)."""
     B, Nq, H, dh = q.shape
     Nk = k.shape[1]
-    dh_p = -(-dh // _LANE) * _LANE
-    bq = _BQ if Nq % _BQ == 0 else Nq
+    dh_p = -(-dh // _SUBLANE) * _SUBLANE
+    bq = min(Nq, max(256, _LOGIT_BUDGET // (4 * Nk)))
+    while bq > 256 and Nq % bq:
+        bq //= 2
+    if Nq % bq:  # no clean divisor (e.g. CLIP's 257 tokens): whole-dim block
+        bq = Nq
 
     def fold(x, n):
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, n, dh)

@@ -1,0 +1,143 @@
+"""Fused GroupNorm(+SiLU) as a Pallas TPU kernel.
+
+Why: GroupNorm32 with NHWC activations and C/G = 10..40 channels per group
+is the single worst-fused op family in the UNet tower. The group axis is a
+*minor-dim stride* (channels c with c//(C/G) equal share a group), so XLA
+lowers the fp32 statistics as strided converts + segmented reduces — the
+profiled 256^2 flagship step spends ~5.2 ms (13%) in `convert_reduce_fusion`
+GN-statistics ops alone, at ~75 GB/s effective bandwidth.
+
+This kernel reads each (HW, C) batch-slice once: fp32 sum / sum-of-squares
+over rows on the VPU, the group aggregation as one (C, G) 0/1 segment-matrix
+matmul (the lane-dim group structure never needs a reshape or a strided
+reduce), broadcast back through the transposed segment matrix, then
+normalize + affine + optional SiLU in the same pass. One HBM read + one HBM
+write per element — nothing else.
+
+Reference semantics: GroupNorm32 computed in fp32 (external/sd1/ldm/modules/
+diffusionmodules/util.py:218-220), variance as E[x^2] - E[x]^2 exactly like
+flax.linen.GroupNorm so the XLA fallback and the kernel agree bitwise-ish
+(<= fp32 rounding).
+
+Gate: TPU only, full (HW, C) slice + fp32 temporaries must fit VMEM
+(HW*C <= 2^20 elements covers every UNet level of the 256^2 flagship
+and the 512^2 stretch shape at ds>=2; larger slices — e.g. VAE towers at
+image resolution — fall back to the XLA path, which runs once per scene,
+not once per step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_SLICE_ELEMS = 1 << 20
+
+
+def _gn_kernel(x_ref, g_ref, b_ref, o_ref, *, groups: int, eps: float, act: str):
+    x = x_ref[0]  # (N, C)
+    N, C = x.shape
+    cg = C // groups
+    f32 = jnp.float32
+    xs = x.astype(f32)
+    s1 = jnp.sum(xs, axis=0, keepdims=True)  # (1, C)
+    s2 = jnp.sum(xs * xs, axis=0, keepdims=True)
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, groups), 0) // cg
+        == jax.lax.broadcasted_iota(jnp.int32, (C, groups), 1)
+    ).astype(f32)
+    cnt = float(N * cg)
+    mu = jnp.dot(s1, seg, preferred_element_type=f32) / cnt  # (1, G)
+    ex2 = jnp.dot(s2, seg, preferred_element_type=f32) / cnt
+    rstd = jax.lax.rsqrt(ex2 - mu * mu + eps)
+    mu_c = jnp.dot(mu, seg.T, preferred_element_type=f32)  # (1, C)
+    rstd_c = jnp.dot(rstd, seg.T, preferred_element_type=f32)
+    y = (xs - mu_c) * (rstd_c * g_ref[...].astype(f32)) + b_ref[...].astype(f32)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _xla_gn(x, scale, bias, groups: int, eps: float, act: str):
+    """The same math in plain XLA — differentiable twin for the custom VJP
+    (and the CPU/oversize fallback semantics in nn/layers.GroupNorm32)."""
+    B, N, C = x.shape
+    xs = x.astype(jnp.float32).reshape(B, N, groups, C // groups)
+    mu = jnp.mean(xs, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xs), axis=(1, 3), keepdims=True) - jnp.square(mu)
+    y = ((xs - mu) * jax.lax.rsqrt(var + eps)).reshape(B, N, C)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def group_norm_act(
+    x: jnp.ndarray,  # (B, N, C)
+    scale: jnp.ndarray,  # (C,)
+    bias: jnp.ndarray,  # (C,)
+    groups: int,
+    eps: float,
+    act: str = "none",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    return _gn_fwd_impl(x, scale, bias, groups, eps, act, interpret)
+
+
+def _gn_fwd(x, scale, bias, groups, eps, act, interpret):
+    return _gn_fwd_impl(x, scale, bias, groups, eps, act, interpret), (x, scale, bias)
+
+
+def _gn_bwd(groups, eps, act, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda x, s, b: _xla_gn(x, s, b, groups, eps, act), x, scale, bias)
+    return vjp(g)
+
+
+group_norm_act.defvjp(_gn_fwd, _gn_bwd)
+
+
+def _gn_fwd_impl(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    groups: int,
+    eps: float,
+    act: str = "none",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N, C = x.shape
+    kern = functools.partial(_gn_kernel, groups=groups, eps=eps, act=act)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * N * C,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=B * N * C if act == "silu" else 0,
+        ),
+        interpret=interpret,
+    )(x, scale.reshape(1, C), bias.reshape(1, C))
+
+
+def should_fuse_gn(shape, groups: int) -> bool:
+    """Kernel applicability: TPU, group-divisible C, slice fits VMEM."""
+    if jax.default_backend() != "tpu":
+        return False
+    n = 1
+    for d in shape[1:-1]:
+        n *= d
+    C = shape[-1]
+    return C % groups == 0 and n * C <= _MAX_SLICE_ELEMS

@@ -12,9 +12,10 @@ from mvdfusion_tpu.ops.attention import _xla_attention, fused_attention
 @pytest.mark.parametrize(
     "B,Nq,Nk,H,dh",
     [
-        (2, 256, 256, 4, 40),   # UNet ds=1 shape class (dh padded 40->128)
+        (2, 256, 256, 4, 40),   # UNet ds=1 shape class (native dh=40)
         (1, 256, 128, 2, 64),   # cross-attention, uneven kv
         (2, 512, 512, 1, 512),  # VAE bottleneck single-head class
+        (1, 257, 257, 4, 64),   # CLIP tower: prime token count, whole-dim block
     ],
 )
 def test_fused_attention_matches_xla(rng, B, Nq, Nk, H, dh):
