@@ -59,6 +59,12 @@ def main() -> None:
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     ap.add_argument("--stretch", action="store_true", help="also bench 64^2-latent stretch shape")
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument(
+        "--scenes", type=int, default=None,
+        help="scenes generated concurrently per step (pipeline/eval.py scene "
+        "batching; measured throughput-neutral on v5e — the step is "
+        "per-element conv-fusion-bound, not MXU-batch-bound); default 1",
+    )
     args = ap.parse_args()
 
     import jax
@@ -101,17 +107,31 @@ def main() -> None:
         )
         return model, params, cams, in_lat, in_cams, clip_v
 
-    def bench_workload(cfg, n_views, img, steps, tag):
+    def bench_workload(cfg, n_views, img, steps, tag, scenes=1):
         model, params, cams, in_lat, in_cams, clip_v = build(cfg, n_views, img, tag)
         decode = jax.jit(lambda p, z: model.apply(p, z, method=ViewFusion.decode_latents))
 
         @jax.jit
         def gen_reduce(p, key, carry):
             key = jax.random.fold_in(key, (carry * 0).astype(jnp.int32) + 1)
-            res = ddim_sample(
-                p, model, cams, in_lat, in_cams, clip_v, key, jnp.asarray(2.5), num_steps=steps
-            )
-            out = decode(p, res.latents[..., :4])
+
+            def one_scene(k):
+                res = ddim_sample(
+                    p, model, cams, in_lat, in_cams, clip_v, k, jnp.asarray(2.5),
+                    num_steps=steps,
+                )
+                return res.latents
+
+            if scenes == 1:
+                lat = one_scene(key)
+            else:
+                # scene batching (pipeline/eval.py semantics): vmap the
+                # whole sampler over concurrent scenes. Measured on v5e:
+                # throughput-neutral (the step is bound by per-element
+                # conv-fusion cost, not MXU batch efficiency)
+                lat = jax.vmap(one_scene)(jax.random.split(key, scenes))
+                lat = lat.reshape(scenes * lat.shape[1], *lat.shape[2:])
+            out = decode(p, lat[..., :4])
             return jnp.sum(out.astype(jnp.float32))
 
         # one compile+run (carry dtype fixed float32 non-weak: ONE compile)
@@ -132,8 +152,11 @@ def main() -> None:
                 jax.profiler.stop_trace()
                 log(f"[bench:{tag}] profiler trace -> {args.profile}")
         steady = sorted(times[1:])[len(times[1:]) // 2]
-        vps = n_views / steady
-        log(f"[bench:{tag}] times={['%.2f' % t for t in times]}s steady={steady:.3f}s views/s={vps:.3f}")
+        vps = scenes * n_views / steady
+        log(
+            f"[bench:{tag}] scenes={scenes} times={['%.2f' % t for t in times]}s "
+            f"steady={steady:.3f}s views/s={vps:.3f}"
+        )
 
         # component breakdown: one CFG denoising step and the decode
         B = clip_v.shape[0]
@@ -188,11 +211,11 @@ def main() -> None:
                 dec_step.lower(params, z, jnp.zeros((), jnp.float32))
                 .compile().cost_analysis()["flops"]
             )
-            tflops = (step_fl * steps + dec_fl) / 1e12
+            tflops = scenes * (step_fl * steps + dec_fl) / 1e12
             achieved = tflops / steady
             mfu = achieved / peak if peak else float("nan")
             log(
-                f"[bench:{tag}] xla_flops={tflops:.1f} TFLOP/scene "
+                f"[bench:{tag}] xla_flops={tflops:.1f} TFLOP/call ({scenes} scenes) "
                 f"({step_fl/1e12:.2f}/step) achieved={achieved:.1f} TFLOP/s "
                 f"MFU={mfu*100:.1f}%"
             )
@@ -200,7 +223,8 @@ def main() -> None:
             log(f"[bench:{tag}] cost_analysis unavailable: {e}")
         return vps
 
-    vps = bench_workload(ViewFusionConfig(), n_views, img, steps, "main")
+    scenes = args.scenes if args.scenes is not None else 1
+    vps = bench_workload(ViewFusionConfig(), n_views, img, steps, "main", scenes=scenes)
 
     if args.stretch:
         import dataclasses
