@@ -118,8 +118,13 @@ fused_attention.defvjp(_fwd, _bwd)
 
 
 def should_fuse(q, k) -> bool:
-    """Route to the Pallas kernel on TPU for the large-token sites."""
-    if jax.default_backend() != "tpu":
+    """Route to the Pallas kernel on TPU for the large-token sites.
+
+    MVDF_DISABLE_PALLAS=1 forces every site onto the XLA path (debugging /
+    on-chip kernel-vs-XLA numerics checks, tools/tpu_numerics_check.py)."""
+    import os
+
+    if jax.default_backend() != "tpu" or os.environ.get("MVDF_DISABLE_PALLAS"):
         return False
     Nq, Nk = q.shape[1], k.shape[1]
     if Nq < 256 or Nk < 128:

@@ -319,8 +319,11 @@ crossview_aggregate.defvjp(_crossview_fwd, _crossview_bwd)
 
 
 def should_fuse_crossview(V: int, H: int, W: int, hid: int, top_k: bool) -> bool:
-    """Kernel applicability gate; the factorized XLA path covers the rest."""
-    if jax.default_backend() != "tpu":
+    """Kernel applicability gate; the factorized XLA path covers the rest.
+    MVDF_DISABLE_PALLAS=1 forces the XLA path (see ops/attention.should_fuse)."""
+    import os
+
+    if jax.default_backend() != "tpu" or os.environ.get("MVDF_DISABLE_PALLAS"):
         return False
     if top_k:
         return False

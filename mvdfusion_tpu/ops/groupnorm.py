@@ -133,8 +133,11 @@ def _gn_fwd_impl(
 
 
 def should_fuse_gn(shape, groups: int) -> bool:
-    """Kernel applicability: TPU, group-divisible C, slice fits VMEM."""
-    if jax.default_backend() != "tpu":
+    """Kernel applicability: TPU, group-divisible C, slice fits VMEM.
+    MVDF_DISABLE_PALLAS=1 forces the XLA path (see ops/attention.should_fuse)."""
+    import os
+
+    if jax.default_backend() != "tpu" or os.environ.get("MVDF_DISABLE_PALLAS"):
         return False
     n = 1
     for d in shape[1:-1]:
