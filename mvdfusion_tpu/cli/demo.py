@@ -177,6 +177,7 @@ def main(argv=None):
             res = ddim_sample(
                 params, model, cams, in_lat, in_cams, clip_v,
                 jax.random.fold_in(base_key, i), jnp.asarray(cfg_scale), num_steps=steps,
+                feed_prev_depth=model.cfg.feed_prev_depth,
             )
             out = {
                 "pred_rgb": np.asarray(decode(params, res.latents[..., :4])),

@@ -70,6 +70,9 @@ def build_model_config(cfg: dict, dtype=jnp.bfloat16) -> ViewFusionConfig:
         z_scale_factor=mp.get("z_scale_factor", 0.18215),
         embed_camera_pose=mp.get("embed_camera_pose", True),
         drop_conditions=mp.get("drop_conditions", False),
+        objective=mp.get("objective", "noise"),
+        loss_type=mp.get("loss_type", "l2"),
+        feed_prev_depth=mp.get("feed_prev_depth", False),
         timesteps=dd.get("timesteps", 1000),
         latent_size=va.get("input_size", 32),
         viewattn_hidden=va.get("hidden_size", 256),

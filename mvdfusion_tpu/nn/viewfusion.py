@@ -42,6 +42,9 @@ class ViewFusionConfig:
     z_scale_factor: float = 0.18215
     embed_camera_pose: bool = True
     drop_conditions: bool = False
+    objective: str = "noise"  # 'noise' | 'x_start' (viewfusion:382-387)
+    loss_type: str = "l2"  # only l2 exists in the reference (viewfusion:86-88)
+    feed_prev_depth: bool = False  # viewfusion:39,92,375-379
     timesteps: int = 1000
     linear_start: float = 0.00085
     linear_end: float = 0.0120
@@ -411,9 +414,13 @@ class ViewFusion(nn.Module):
         target_idx: jnp.ndarray,
         rng: jax.Array,
         depths: Optional[jnp.ndarray] = None,
-        feed_prev_depth: bool = False,
+        feed_prev_depth: Optional[bool] = None,
     ) -> jnp.ndarray:
-        """Shared-t noise-prediction L2 (viewfusion:362-392)."""
+        """Shared-t L2 on the configured objective (viewfusion:362-392)."""
+        if self.cfg.loss_type != "l2":  # matches reference viewfusion:86-88
+            raise NotImplementedError(f"loss_type {self.cfg.loss_type!r}")
+        if feed_prev_depth is None:
+            feed_prev_depth = self.cfg.feed_prev_depth
         batch_latents, batch_cams, input_latents, input_cams, clip_v = self.prepare_batch(
             images, R, T, f, c, input_idx, target_idx, depths=depths
         )
@@ -439,4 +446,10 @@ class ViewFusion(nn.Module):
             noisy, batch_cams, input_latents, input_cams, clip_v, t, rng_attn,
             prev_depth=prev_depth, cond_drop_rng=rng_drop,
         )
-        return jnp.mean((noise - pred) ** 2)
+        if self.cfg.objective == "noise":
+            target = noise
+        elif self.cfg.objective == "x_start":
+            target = batch_latents
+        else:  # matches reference viewfusion:387
+            raise NotImplementedError(f"objective {self.cfg.objective!r}")
+        return jnp.mean((target - pred) ** 2)

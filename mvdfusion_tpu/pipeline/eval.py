@@ -51,6 +51,7 @@ def eval_scenes(
         res = ddim_sample(
             params, model, cams, in_lat, in_cams, clip_v, key, cfg_scale,
             num_steps=num_steps, eta=eta,
+            feed_prev_depth=model.cfg.feed_prev_depth,
         )
         # memory-bounded decode: with N scenes x B views in flight the
         # reference's single-batch decode would blow HBM at 512^2 outputs

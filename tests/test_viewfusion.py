@@ -69,6 +69,28 @@ def test_p_losses_finite(tiny_model):
     assert float(loss) > 0
 
 
+def test_p_losses_objectives_and_loss_type(tiny_model):
+    """objective='x_start' targets the clean latents (viewfusion:382-387);
+    loss_type other than l2 raises, matching the reference NotImplementedError
+    (viewfusion:86-88)."""
+    import dataclasses
+
+    model, params, batch = tiny_model
+    args = (
+        batch["images"], batch["R"], batch["T"], batch["f"], batch["c"],
+        batch["input_idx"], batch["target_idx"], jax.random.PRNGKey(2),
+    )
+    m_x0 = ViewFusion(dataclasses.replace(model.cfg, objective="x_start"))
+    loss_noise = model.apply(params, *args, method=ViewFusion.p_losses)
+    loss_x0 = m_x0.apply(params, *args, method=ViewFusion.p_losses)
+    assert np.isfinite(float(loss_x0)) and float(loss_x0) > 0
+    # same params + same rng, different target -> different loss
+    assert abs(float(loss_x0) - float(loss_noise)) > 1e-6
+    m_bad = ViewFusion(dataclasses.replace(model.cfg, loss_type="l1"))
+    with pytest.raises(NotImplementedError):
+        m_bad.apply(params, *args, method=ViewFusion.p_losses)
+
+
 def test_prepare_batch_shapes(tiny_model):
     model, params, batch = tiny_model
     latents, cams, in_latents, in_cams, clip_v = jax.jit(
