@@ -175,16 +175,21 @@ class CrossAttention(nn.Module):
         is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        if not is_self and x.shape[1] == 1 and context.shape[1] == 1:
-            # 1-query x 1-key attention (the D=1 per-pixel frustum case,
-            # reference attention.py:56-62): softmax over a single key is
-            # exactly 1, so out == to_out(to_v(ctx)) — skip q/k entirely
-            # and the pathological (B*HW)-batched 1x1 matmuls with them.
+        if not is_self and context.shape[1] == 1:
+            # 1-key attention (reference attention.py:152-193 with a 1-token
+            # context — always the case for attn2 here: the CLIP+pose
+            # conditioning is a single token, and the D=1 per-pixel frustum
+            # case of attention.py:56-62 folds HW into batch): softmax over
+            # a single key is exactly 1 (and its gradient w.r.t. q/k exactly
+            # 0), so out == to_out(to_v(ctx)) broadcast over the queries.
+            # Skips to_q, the (B,H,Nq,1) logits and the softmax at all 16
+            # UNet attn2 sites — bit-identical output.
             if self.is_initializing():  # params must still exist for ckpts
                 nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
                 nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
-            return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(v)
+            out = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(v)
+            return jnp.broadcast_to(out, x.shape[:2] + (out.shape[-1],))
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)

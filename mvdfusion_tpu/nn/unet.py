@@ -37,7 +37,40 @@ from mvdfusion_tpu.nn.layers import (
     LayerNormFp32,
     timestep_embedding,
 )
+from mvdfusion_tpu.ops.block import BlockWeights, should_fuse_block, transformer_block
 from mvdfusion_tpu.ops.image import area_downsample, nearest_upsample2x
+
+
+def _fused_block_weights(proj_in, proj_out, block) -> BlockWeights:
+    """Collect a transformer site's params into ops/block.py's transposed
+    layout. `block` is the (uncalled) BasicTransformerBlock /
+    DualAttentionBlock; params exist because init runs the XLA path."""
+    pi = proj_in.variables["params"]
+    po = proj_out.variables["params"]
+    bv = block.variables["params"]
+    a1 = bv["attn1"]
+    ff = bv["ff"]
+    return BlockWeights(
+        pi_k=pi["kernel"].T, pi_b=pi["bias"],
+        ln1_g=bv["norm1"]["LayerNorm_0"]["scale"], ln1_b=bv["norm1"]["LayerNorm_0"]["bias"],
+        qkv_k=jnp.concatenate(
+            [a1["to_q"]["kernel"].T, a1["to_k"]["kernel"].T, a1["to_v"]["kernel"].T], axis=0
+        ),
+        out_k=a1["to_out"]["kernel"].T, out_b=a1["to_out"]["bias"],
+        ln3_g=bv["norm3"]["LayerNorm_0"]["scale"], ln3_b=bv["norm3"]["LayerNorm_0"]["bias"],
+        g_k=ff["geglu"]["proj"]["kernel"].T, g_b=ff["geglu"]["proj"]["bias"],
+        f_k=ff["out"]["kernel"].T, f_b=ff["out"]["bias"],
+        po_k=po["kernel"].T, po_b=po["bias"],
+    )
+
+
+def _attn2_contribution(block, ctx, dtype):
+    """to_out(to_v(ctx)) — the exact attn2 output for a 1-key context
+    (softmax over one key == 1; see nn/layers.CrossAttention fast path).
+    ctx: (B, Cc) -> (B, C) or (B, N, Cc) -> (B, N, C)."""
+    av = block.variables["params"]["attn2"]
+    v = ctx.astype(dtype) @ av["to_v"]["kernel"].astype(dtype)
+    return v @ av["to_out"]["kernel"].astype(dtype) + av["to_out"]["bias"].astype(dtype)
 
 
 class ResBlock(nn.Module):
@@ -89,20 +122,46 @@ class SpatialTransformer(nn.Module):
     dim_head: int
     depth: int = 1
     dtype: Dtype = jnp.float32
+    fuse_mode: str = "auto"  # auto | never | interpret (interpret: tests)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
         x_in = x
         h = GroupNorm32(epsilon=1e-6, name="norm")(x)
-        h = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")(h)
-        h = h.reshape(B, H * W, -1)
-        for d in range(self.depth):
-            h = BasicTransformerBlock(self.heads, self.dim_head, dtype=self.dtype, name=f"block_{d}")(
-                h, context
+        proj_in = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")
+        proj_out = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out")
+        blocks = [
+            BasicTransformerBlock(self.heads, self.dim_head, dtype=self.dtype, name=f"block_{d}")
+            for d in range(self.depth)
+        ]
+        if (
+            not self.is_initializing()
+            and self.depth == 1
+            and context.shape[1] == 1
+            and self.heads * self.dim_head == C
+            and (
+                self.fuse_mode == "interpret"
+                or (self.fuse_mode == "auto" and should_fuse_block(C, H * W, self.heads))
             )
+        ):
+            # fused whole-site Pallas kernel (ops/block.py): proj_in ->
+            # attn1 -> attn2(1-token ctx) -> FF -> proj_out -> +x_in
+            a2 = _attn2_contribution(blocks[0], context[:, 0], self.dtype)  # (B, C)
+            w = _fused_block_weights(proj_in, proj_out, blocks[0])
+            # positional call: custom_vjp + nondiff_argnums
+            out = transformer_block(
+                h.reshape(B, H * W, C).astype(self.dtype),
+                x_in.reshape(B, H * W, C).astype(self.dtype),
+                a2, w, self.heads, self.fuse_mode == "interpret",
+            )
+            return out.reshape(B, H, W, C)
+        h = proj_in(h)
+        h = h.reshape(B, H * W, -1)
+        for blk in blocks:
+            h = blk(h, context)
         h = h.reshape(B, H, W, -1)
-        h = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out")(h)
+        h = proj_out(h)
         return h + x_in
 
 
@@ -144,18 +203,49 @@ class ViewAlignedFeatureTransformer(nn.Module):
     dim_head: int
     depth: int = 1
     dtype: Dtype = jnp.float32
+    fuse_mode: str = "auto"  # auto | never | interpret (interpret: tests)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, volume: jnp.ndarray) -> jnp.ndarray:
         """x: (B, H, W, C); volume: (B, H, W, D, Cc) frustum at this level."""
         B, H, W, C = x.shape
+        D = volume.shape[3]
         x_in = x
         h = GroupNorm32(epsilon=1e-6, name="norm")(x).reshape(B, H * W, C)
-        h = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")(h)
+        proj_in = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")
+        proj_out = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out")
+        blocks = [
+            DualAttentionBlock(self.heads, self.dim_head, dtype=self.dtype, name=f"block_{d}")
+            for d in range(self.depth)
+        ]
+        if (
+            not self.is_initializing()
+            and self.depth == 1
+            and D == 1
+            and self.heads * self.dim_head == C
+            and (
+                self.fuse_mode == "interpret"
+                or (self.fuse_mode == "auto" and should_fuse_block(C, H * W, self.heads))
+            )
+        ):
+            # fused site kernel; the per-pixel D=1 frustum cross-attention is
+            # exactly to_out(to_v(frustum)) per pixel (attention.py:56-62
+            # with one key), precomputed as one clean (B*HW, Cc) matmul pair
+            ctx = volume.reshape(B, H * W, volume.shape[4])
+            a2 = _attn2_contribution(blocks[0], ctx, self.dtype)  # (B, HW, C)
+            w = _fused_block_weights(proj_in, proj_out, blocks[0])
+            # positional call: custom_vjp + nondiff_argnums
+            out = transformer_block(
+                h.astype(self.dtype),
+                x_in.reshape(B, H * W, C).astype(self.dtype),
+                a2, w, self.heads, self.fuse_mode == "interpret",
+            )
+            return out.reshape(B, H, W, C)
         ctx = volume.reshape(B, H * W, volume.shape[3], volume.shape[4])
-        for d in range(self.depth):
-            h = DualAttentionBlock(self.heads, self.dim_head, dtype=self.dtype, name=f"block_{d}")(h, ctx)
-        h = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out")(h)
+        h = proj_in(h)
+        for blk in blocks:
+            h = blk(h, ctx)
+        h = proj_out(h)
         return h.reshape(B, H, W, C) + x_in
 
 

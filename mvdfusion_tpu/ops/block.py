@@ -1,0 +1,278 @@
+"""Fused UNet transformer block as a single Pallas TPU kernel.
+
+Covers the whole SpatialTransformer / ViewAlignedFeatureTransformer interior
+between the GroupNorm and the residual join (reference
+external/sd1/ldm/modules/attention.py:195-287 and mvdfusion/attention.py:16-145):
+
+    proj_in -> [LN1 -> multi-head self-attn -> +res
+                -> (attn2 contribution, precomputed) -> +res
+                -> LN3 -> GEGLU FF -> +res] -> proj_out -> + x_in
+
+Why: the profiled flagship step (tools/step_trace.py) spends ~14 ms of a
+44 ms denoising step in the 8 transformer sites at 32^2 — not in their
+matmul FLOPs (~0.6 ms/site of MXU work) but in XLA's lowering: the token
+matmuls around the Pallas attention custom-call get batch-in-lanes conv
+emitters running 5-20x below the plain-GEMM path, plus layout copies and a
+dozen HBM round-trips per site (flattening the dots to 2-D does not change
+the emitter choice — measured). This kernel keeps the entire block interior
+in VMEM: x is read once and written once per site.
+
+Layout strategy (the part that makes Mosaic happy on v5e):
+  * Everything is computed TRANSPOSED — channels along sublanes, tokens
+    along lanes. A (C, N) tile with C=320, N=1024.
+  * Head slicing of the fused qkv is then a SUBLANE slice at dh=40 rows —
+    a multiple of the fp32/bf16 sublane tile (8), i.e. free; a lane slice
+    at 40 would relayout. dh stays native (no 128-padding).
+  * QK^T contracts over the sublane dim ((dh,N)x(dh,N) -> (N,N)), PV over
+    the lane dim ((dh,N)x(N,N) -> (dh,N)) — both plain MXU forms.
+  * LayerNorm statistics are sublane reductions; weights arrive
+    pre-transposed (out, in) so every projection is dot(W_T, h_T).
+  * GEGLU's (2*inner, N) intermediate never materializes: the FF runs in
+    token chunks of 256 lanes.
+
+The attn2 (context cross-attention) term is an INPUT, not in-kernel work:
+with a 1-token context (always, here — CLIP+pose is one token) or the D=1
+per-pixel frustum, softmax over one key is exactly 1, so its output
+`to_out(to_v(ctx))` is independent of x and precomputed by the caller as a
+per-batch row (spatial sites) or per-token map (view-aligned sites).
+
+Backward: custom VJP that rematerializes the plain-XLA twin (training steps
+are not bound by these sites the way the 50-step sampler is).
+
+Gate (should_fuse_block): TPU, C <= 384, N <= 1024 — the 32^2 flagship
+sites; the 16^2/8^2/4^2 sites (4x fewer tokens each level) and the 512^2
+stretch shape stay on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mvdfusion_tpu.ops.crossview import _gelu
+
+_LN_EPS = 1e-5
+_FF_CHUNK = 256
+
+
+class BlockWeights(NamedTuple):
+    """All weights transposed to (out_features, in_features)."""
+
+    pi_k: jnp.ndarray  # (C, C)   proj_in
+    pi_b: jnp.ndarray  # (C,)
+    ln1_g: jnp.ndarray  # (C,) fp32
+    ln1_b: jnp.ndarray  # (C,)
+    qkv_k: jnp.ndarray  # (3C, C) rows [Wq^T; Wk^T; Wv^T] (no bias in LDM attn)
+    out_k: jnp.ndarray  # (C, C)   attn to_out
+    out_b: jnp.ndarray  # (C,)
+    ln3_g: jnp.ndarray  # (C,)
+    ln3_b: jnp.ndarray  # (C,)
+    g_k: jnp.ndarray  # (2*inner, C) GEGLU proj
+    g_b: jnp.ndarray  # (2*inner,)
+    f_k: jnp.ndarray  # (C, inner)   FF out
+    f_b: jnp.ndarray  # (C,)
+    po_k: jnp.ndarray  # (C, C)   proj_out
+    po_b: jnp.ndarray  # (C,)
+
+
+def _ln_t(h, g_ref, b_ref):
+    """LayerNorm over channels of a transposed (C, N) tile, fp32 stats."""
+    f32 = jnp.float32
+    hf = h.astype(f32)
+    mu = jnp.mean(hf, axis=0, keepdims=True)  # (1, N)
+    var = jnp.mean(hf * hf, axis=0, keepdims=True) - mu * mu
+    y = (hf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    return (y * g_ref[...].astype(f32) + b_ref[...].astype(f32)).astype(h.dtype)
+
+
+def _block_kernel(
+    xg_ref, xin_ref, a2_ref,
+    pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref,
+    ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref, f_k_ref, f_b_ref, po_k_ref, po_b_ref,
+    o_ref, *, heads: int,
+):
+    f32 = jnp.float32
+    xg = xg_ref[0]  # (C, N) bf16, GroupNorm output transposed
+    C, N = xg.shape
+    dh = C // heads
+    dt = xg.dtype
+
+    def mm(w_ref, h, b_ref=None):
+        y = jax.lax.dot(w_ref[...], h, preferred_element_type=f32)
+        if b_ref is not None:
+            y = y + b_ref[...].astype(f32)
+        return y.astype(dt)
+
+    # proj_in (attention.py:253-257, 1x1 conv == per-token dense)
+    h0 = mm(pi_k_ref, xg, pi_b_ref)  # (C, N)
+
+    # ---- attn1: per-head self-attention, logits VMEM-resident ------------
+    ln1 = _ln_t(h0, ln1_g_ref, ln1_b_ref)
+    qkv = mm(qkv_k_ref, ln1)  # (3C, N)
+    scale = dh ** -0.5
+    rows = []
+    for h in range(heads):
+        qT = qkv[h * dh : (h + 1) * dh]  # sublane slices (dh % 8 == 0)
+        kT = qkv[C + h * dh : C + (h + 1) * dh]
+        vT = qkv[2 * C + h * dh : 2 * C + (h + 1) * dh]
+        logits = (
+            jax.lax.dot_general(qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+            * scale
+        )  # (Nq, Nk) fp32
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
+        rows.append(
+            jax.lax.dot_general(vT, p, (((1,), (1,)), ((), ())), preferred_element_type=f32).astype(dt)
+        )  # (dh, Nq)
+    attn = jnp.concatenate(rows, axis=0)  # (C, N)
+    h1 = h0 + mm(out_k_ref, attn, out_b_ref)
+
+    # ---- attn2: precomputed contribution (see module docstring) ----------
+    a2 = a2_ref[0]  # (C, N) or (C, 1) broadcast over tokens
+    h2 = h1 + jnp.broadcast_to(a2.astype(dt), (C, N))
+
+    # ---- GEGLU FF + proj_out + final residual, tiled over tokens ---------
+    inner = f_k_ref.shape[1]
+    for c0 in range(0, N, _FF_CHUNK):
+        sl = slice(c0, c0 + _FF_CHUNK)
+        l3 = _ln_t(h2[:, sl], ln3_g_ref, ln3_b_ref)
+        g = mm(g_k_ref, l3, g_b_ref)  # (2*inner, TN)
+        y = g[:inner] * _gelu(g[inner:])
+        h3 = h2[:, sl] + mm(f_k_ref, y, f_b_ref)
+        o_ref[0, :, sl] = xin_ref[0][:, sl] + mm(po_k_ref, h3, po_b_ref)
+
+
+def _xla_reference(x_gn, x_in, attn2_add, w: BlockWeights, heads: int):
+    """Differentiable plain-XLA twin (natural orientation) used for the
+    custom VJP and the kernel's correctness tests. Matches the flax module
+    composition in nn/unet.py (SpatialTransformer / ViewAligned interior)."""
+    f32 = jnp.float32
+    dt = x_gn.dtype
+    B, N, C = x_gn.shape
+    dh = C // heads
+
+    def dense(h, k, b=None):  # k is (out, in) transposed
+        y = jnp.einsum("bnc,oc->bno", h, k.astype(h.dtype))
+        if b is not None:
+            y = y + b.astype(h.dtype)
+        return y
+
+    def ln(h, g, b):
+        hf = h.astype(f32)
+        mu = jnp.mean(hf, axis=-1, keepdims=True)
+        var = jnp.mean(hf * hf, axis=-1, keepdims=True) - mu * mu
+        y = (hf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+        return (y * g.astype(f32) + b.astype(f32)).astype(h.dtype)
+
+    h0 = dense(x_gn, w.pi_k, w.pi_b)
+    ln1 = ln(h0, w.ln1_g, w.ln1_b)
+    qkv = dense(ln1, w.qkv_k)  # (B, N, 3C)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, N, heads, dh)
+    k = k.reshape(B, N, heads, dh)
+    v = v.reshape(B, N, heads, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * dh ** -0.5
+    probs = jax.nn.softmax(logits.astype(f32), axis=-1).astype(dt)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, C)
+    h1 = h0 + dense(attn, w.out_k, w.out_b)
+    a2 = attn2_add if attn2_add.ndim == 3 else attn2_add[:, None, :]
+    h2 = h1 + a2.astype(dt)
+    l3 = ln(h2, w.ln3_g, w.ln3_b)
+    g = dense(l3, w.g_k, w.g_b)
+    inner = w.f_k.shape[1]
+    y = g[..., :inner] * jax.nn.gelu(g[..., inner:].astype(f32), approximate=False).astype(dt)
+    h3 = h2 + dense(y, w.f_k, w.f_b)
+    return x_in + dense(h3, w.po_k, w.po_b)
+
+
+def _fwd_impl(x_gn, x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
+    B, N, C = x_gn.shape
+    dt = x_gn.dtype
+    inner2 = w.g_k.shape[0]
+
+    xgT = jnp.swapaxes(x_gn, 1, 2)  # (B, C, N)
+    xinT = jnp.swapaxes(x_in, 1, 2)
+    if attn2_add.ndim == 3:
+        a2T = jnp.swapaxes(attn2_add, 1, 2)  # (B, C, N)
+        Na2 = N
+    else:
+        a2T = attn2_add[:, :, None]  # (B, C, 1)
+        Na2 = 1
+
+    col = lambda x: x.reshape(-1, 1)
+    kern = functools.partial(_block_kernel, heads=heads)
+    vm = lambda shape, im: pl.BlockSpec(shape, im, memory_space=pltpu.VMEM)
+    const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    outT = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            vm((1, C, N), lambda b: (b, 0, 0)),
+            vm((1, C, N), lambda b: (b, 0, 0)),
+            vm((1, C, Na2), lambda b: (b, 0, 0)),
+        ]
+        + [const()] * 15,
+        out_specs=vm((1, C, N), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
+        cost_estimate=pl.CostEstimate(
+            # qkv+out+proj_in/out + ff + attention, per batch
+            flops=2 * B * N * C * (6 * C + 3 * inner2 // 2) + 4 * B * N * N * C,
+            bytes_accessed=3 * B * N * C * 2,
+            transcendentals=B * N * N * heads + B * N * inner2 // 2,
+        ),
+        interpret=interpret,
+    )(
+        xgT, xinT, a2T,
+        w.pi_k.astype(dt), col(w.pi_b), col(w.ln1_g), col(w.ln1_b),
+        w.qkv_k.astype(dt), w.out_k.astype(dt), col(w.out_b),
+        col(w.ln3_g), col(w.ln3_b),
+        w.g_k.astype(dt), col(w.g_b), w.f_k.astype(dt), col(w.f_b),
+        w.po_k.astype(dt), col(w.po_b),
+    )
+    return jnp.swapaxes(outT, 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def transformer_block(
+    x_gn: jnp.ndarray,  # (B, N, C) GroupNorm output (tokens)
+    x_in: jnp.ndarray,  # (B, N, C) residual input (pre-GN)
+    attn2_add: jnp.ndarray,  # (B, C) per-batch row or (B, N, C) per-token
+    w: BlockWeights,
+    heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x_in + proj_out(block(proj_in(x_gn))) with the attn2 term injected."""
+    return _fwd_impl(x_gn, x_in, attn2_add, w, heads, interpret)
+
+
+def _fwd(x_gn, x_in, attn2_add, w, heads, interpret):
+    return _fwd_impl(x_gn, x_in, attn2_add, w, heads, interpret), (x_gn, x_in, attn2_add, w)
+
+
+def _bwd(heads, interpret, res, g):
+    x_gn, x_in, attn2_add, w = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, ww: _xla_reference(a, b, c, ww, heads), x_gn, x_in, attn2_add, w
+    )
+    return vjp(g)
+
+
+transformer_block.defvjp(_fwd, _bwd)
+
+
+def should_fuse_block(C: int, N: int, heads: int) -> bool:
+    """TPU-only; the 32^2 flagship sites (C=320, N=1024). VMEM budget: the
+    fp32 (N, N) logits tile + bf16 weights (~3.6 MB at C=320) + (C, N)
+    working set must stay under the ~16 MB scoped limit.
+    MVDF_DISABLE_PALLAS=1 forces the XLA path."""
+    import os
+
+    if jax.default_backend() != "tpu" or os.environ.get("MVDF_DISABLE_PALLAS"):
+        return False
+    return C <= 384 and N <= 1024 and C % heads == 0 and (C // heads) % 8 == 0 and N % _FF_CHUNK == 0

@@ -1,0 +1,74 @@
+"""Fused transformer-block Pallas kernel (ops/block.py) vs the XLA module
+path, interpret mode on CPU: same params through SpatialTransformer /
+ViewAlignedFeatureTransformer with fuse_mode never vs interpret."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvdfusion_tpu.nn.unet import SpatialTransformer, ViewAlignedFeatureTransformer
+
+
+def _randomize(params, rng, scale=0.05):
+    """Replace every param (incl. zero-init proj_out — otherwise the site is
+    the identity and the test is vacuous) with small random values."""
+    leaves, treedef = jax.tree.flatten(params)
+    new = [jnp.asarray(rng.normal(size=l.shape) * scale, l.dtype) for l in leaves]
+    return jax.tree.unflatten(treedef, new)
+
+
+def test_spatial_fused_matches_xla(rng):
+    B, H, W, C, heads = 2, 8, 8, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 1, 48)), jnp.float32)
+    ref_mod = SpatialTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = SpatialTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, ctx), rng)
+    ref = np.asarray(ref_mod.apply(params, x, ctx))
+    out = np.asarray(fus_mod.apply(params, x, ctx))
+    assert out.shape == ref.shape == (B, H, W, C)
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_spatial_fused_grads_match(rng):
+    B, H, W, C, heads = 2, 4, 4, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 1, 24)), jnp.float32)
+    ref_mod = SpatialTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = SpatialTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, ctx), rng)
+    g_ref = jax.grad(lambda p, x: jnp.sum(ref_mod.apply(p, x, ctx) ** 2), argnums=(0, 1))(
+        params, x
+    )
+    g_fus = jax.grad(lambda p, x: jnp.sum(fus_mod.apply(p, x, ctx) ** 2), argnums=(0, 1))(
+        params, x
+    )
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)
+
+
+def test_view_aligned_fused_matches_xla(rng):
+    B, H, W, C, heads, Cc = 2, 8, 8, 32, 4, 48
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    vol = jnp.asarray(rng.normal(size=(B, H, W, 1, Cc)), jnp.float32)
+    ref_mod = ViewAlignedFeatureTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = ViewAlignedFeatureTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, vol), rng)
+    ref = np.asarray(ref_mod.apply(params, x, vol))
+    out = np.asarray(fus_mod.apply(params, x, vol))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_view_aligned_d3_falls_back(rng):
+    """D>1 per-pixel attention depends on x mid-block — must use XLA path."""
+    B, H, W, C, heads, Cc = 2, 4, 4, 32, 4, 24
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    vol = jnp.asarray(rng.normal(size=(B, H, W, 3, Cc)), jnp.float32)
+    ref_mod = ViewAlignedFeatureTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = ViewAlignedFeatureTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, vol), rng)
+    ref = np.asarray(ref_mod.apply(params, x, vol))
+    out = np.asarray(fus_mod.apply(params, x, vol))
+    np.testing.assert_allclose(out, ref, atol=0.0)  # same (XLA) path bitwise
