@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load_hlo_index(outdir: str):
-    """Map HLO instruction name -> (result shape, opcode/kind) from hlo.txt."""
+    """Map HLO instruction name -> (result shape, opcode/kind, module path)
+    from hlo.txt. Module path comes from metadata op_name, truncated to the
+    site level (e.g. unet/up_1_attn_0, viewattn, vae)."""
     import re
 
     path = os.path.join(outdir, "hlo.txt")
@@ -32,19 +34,23 @@ def load_hlo_index(outdir: str):
         return {}
     idx = {}
     pat = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\S+)\s+([\w\-]+)\(")
+    mpat = re.compile(r'op_name="[^"]*?apply_model_cfg/([^"]+)"')
     with open(path) as f:
         for line in f:
             m = pat.match(line)
-            if m:
-                name, shape, opcode = m.groups()
-                extra = ""
-                if opcode == "fusion":
-                    km = re.search(r"kind=(\w+)", line)
-                    extra = km.group(1) if km else ""
-                if opcode == "custom-call":
-                    km = re.search(r'custom_call_target="([^"]+)"', line)
-                    extra = km.group(1) if km else ""
-                idx[name] = (shape, opcode, extra)
+            if not m:
+                continue
+            name, shape, opcode = m.groups()
+            extra = ""
+            if opcode == "fusion":
+                km = re.search(r"kind=(\w+)", line)
+                extra = km.group(1) if km else ""
+            if opcode == "custom-call":
+                km = re.search(r'custom_call_target="([^"]+)"', line)
+                extra = km.group(1) if km else ""
+            mm = mpat.search(line)
+            mod = "/".join(mm.group(1).split("/")[:2]) if mm else ""
+            idx[name] = (shape, opcode, extra, mod)
     return idx
 
 
@@ -110,10 +116,21 @@ def parse_trace(outdir: str, top: int = 40):
     for b, ms in sorted(buck.items(), key=lambda kv: -kv[1]):
         print(f"  {b:>12}: {ms:8.2f} ms  ({ms/max(total,1e-9)*100:4.1f}%)")
     hlo = load_hlo_index(outdir)
+    if hlo:
+        by_mod = collections.defaultdict(float)
+        for name, ms in agg.items():
+            mod = hlo.get(name, ("", "", "", "?"))[3] or "(no metadata)"
+            by_mod[mod] += ms
+        print("\n-- by module (ALL ops incl. tail) --")
+        for mod, ms in sorted(by_mod.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"  {ms:8.2f} ms  {mod}")
     print(f"\n-- top {top} ops --")
     for name, ms in rows[:top]:
-        shape, opcode, extra = hlo.get(name, ("?", "?", ""))
-        print(f"  {ms:8.3f} ms  x{cnt[name]:<4d} {name[:60]:<60} {opcode}/{extra} {shape[:60]}")
+        shape, opcode, extra, mod = hlo.get(name, ("?", "?", "", ""))
+        print(
+            f"  {ms:8.3f} ms  x{cnt[name]:<4d} {name[:44]:<44} {mod[:28]:<28} "
+            f"{opcode}/{extra} {shape[:48]}"
+        )
 
 
 def run_and_trace(outdir: str, steps: int):
