@@ -129,5 +129,9 @@ def should_fuse(q, k) -> bool:
     Nq, Nk = q.shape[1], k.shape[1]
     if Nq < 256 or Nk < 128:
         return False
-    # K/V + logits tile must fit VMEM comfortably
-    return Nk <= 4096 and q.shape[-1] <= 512
+    # K/V + logits tile must fit VMEM comfortably. Mosaic double-buffers the
+    # grid-varying K/V blocks, so the budget is ~2*(2*Nk*dh) bf16 bytes plus
+    # the logits tile: Nk*dh <= 2^21 elements keeps the worst case (the VAE
+    # mid-attention) at ~8.5 MB; the 512^2-stretch decode's (4096, 512)
+    # measured 16.5 MB scoped and OOM'd the 16 MB limit.
+    return Nk <= 4096 and q.shape[-1] <= 512 and Nk * q.shape[-1] <= (1 << 20)

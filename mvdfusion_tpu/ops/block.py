@@ -39,9 +39,12 @@ per-batch row (spatial sites) or per-token map (view-aligned sites).
 Backward: custom VJP that rematerializes the plain-XLA twin (training steps
 are not bound by these sites the way the 50-step sampler is).
 
-Gate (should_fuse_block): TPU, C <= 384, N <= 1024 — the 32^2 flagship
-sites; the 16^2/8^2/4^2 sites (4x fewer tokens each level) and the 512^2
-stretch shape stay on the XLA path.
+Gate (should_fuse_block): TPU, C <= 768, N <= 1024 — the 32^2 sites run as
+ONE kernel (C=320: ~3.6 MB of weights resident); the 16^2 sites (C=640,
+~14.7 MB of weights) split into an attention kernel + an FF kernel so each
+half's weights fit VMEM, with h2 round-tripping HBM once. The 8^2/4^2
+C=1280 sites (attention weights alone ~16 MB) and the 512^2 stretch shape
+(N=4096 logits) stay on the XLA path.
 """
 
 from __future__ import annotations
@@ -58,6 +61,9 @@ from mvdfusion_tpu.ops.crossview import _gelu
 
 _LN_EPS = 1e-5
 _FF_CHUNK = 256
+# single-kernel weight-residency budget; above it the site splits into an
+# attention kernel + an FF kernel (tests monkeypatch this to force the split)
+_SINGLE_KERNEL_WEIGHT_BYTES = 8 * 1024 * 1024
 
 
 class BlockWeights(NamedTuple):
@@ -90,30 +96,25 @@ def _ln_t(h, g_ref, b_ref):
     return (y * g_ref[...].astype(f32) + b_ref[...].astype(f32)).astype(h.dtype)
 
 
-def _block_kernel(
-    xg_ref, xin_ref, a2_ref,
-    pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref,
-    ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref, f_k_ref, f_b_ref, po_k_ref, po_b_ref,
-    o_ref, *, heads: int,
-):
+def _mm(w_ref, h, b_ref=None, dt=None):
+    y = jax.lax.dot(w_ref[...], h, preferred_element_type=jnp.float32)
+    if b_ref is not None:
+        y = y + b_ref[...].astype(jnp.float32)
+    return y.astype(dt if dt is not None else h.dtype)
+
+
+def _attn_part(xg, a2, pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref,
+               out_k_ref, out_b_ref, heads: int):
+    """proj_in -> LN1 -> multi-head self-attn -> +res -> +attn2 term."""
     f32 = jnp.float32
-    xg = xg_ref[0]  # (C, N) bf16, GroupNorm output transposed
     C, N = xg.shape
     dh = C // heads
     dt = xg.dtype
 
-    def mm(w_ref, h, b_ref=None):
-        y = jax.lax.dot(w_ref[...], h, preferred_element_type=f32)
-        if b_ref is not None:
-            y = y + b_ref[...].astype(f32)
-        return y.astype(dt)
-
     # proj_in (attention.py:253-257, 1x1 conv == per-token dense)
-    h0 = mm(pi_k_ref, xg, pi_b_ref)  # (C, N)
-
-    # ---- attn1: per-head self-attention, logits VMEM-resident ------------
+    h0 = _mm(pi_k_ref, xg, pi_b_ref)  # (C, N)
     ln1 = _ln_t(h0, ln1_g_ref, ln1_b_ref)
-    qkv = mm(qkv_k_ref, ln1)  # (3C, N)
+    qkv = _mm(qkv_k_ref, ln1)  # (3C, N)
     scale = dh ** -0.5
     rows = []
     for h in range(heads):
@@ -131,21 +132,63 @@ def _block_kernel(
             jax.lax.dot_general(vT, p, (((1,), (1,)), ((), ())), preferred_element_type=f32).astype(dt)
         )  # (dh, Nq)
     attn = jnp.concatenate(rows, axis=0)  # (C, N)
-    h1 = h0 + mm(out_k_ref, attn, out_b_ref)
+    h1 = h0 + _mm(out_k_ref, attn, out_b_ref)
+    # attn2: precomputed contribution (see module docstring)
+    return h1 + jnp.broadcast_to(a2.astype(dt), (C, N))
 
-    # ---- attn2: precomputed contribution (see module docstring) ----------
-    a2 = a2_ref[0]  # (C, N) or (C, 1) broadcast over tokens
-    h2 = h1 + jnp.broadcast_to(a2.astype(dt), (C, N))
 
-    # ---- GEGLU FF + proj_out + final residual, tiled over tokens ---------
+def _ff_part(h2, xin_ref, ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref,
+             f_k_ref, f_b_ref, po_k_ref, po_b_ref, o_ref, chunk: int = _FF_CHUNK):
+    """LN3 -> GEGLU FF -> +res -> proj_out -> + x_in, tiled over tokens."""
+    C, N = h2.shape
     inner = f_k_ref.shape[1]
-    for c0 in range(0, N, _FF_CHUNK):
-        sl = slice(c0, c0 + _FF_CHUNK)
+    for c0 in range(0, N, chunk):
+        sl = slice(c0, c0 + chunk)
         l3 = _ln_t(h2[:, sl], ln3_g_ref, ln3_b_ref)
-        g = mm(g_k_ref, l3, g_b_ref)  # (2*inner, TN)
+        g = _mm(g_k_ref, l3, g_b_ref)  # (2*inner, TN)
         y = g[:inner] * _gelu(g[inner:])
-        h3 = h2[:, sl] + mm(f_k_ref, y, f_b_ref)
-        o_ref[0, :, sl] = xin_ref[0][:, sl] + mm(po_k_ref, h3, po_b_ref)
+        h3 = h2[:, sl] + _mm(f_k_ref, y, f_b_ref)
+        o_ref[0, :, sl] = xin_ref[0][:, sl] + _mm(po_k_ref, h3, po_b_ref)
+
+
+def _block_kernel(
+    xg_ref, xin_ref, a2_ref,
+    pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref,
+    ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref, f_k_ref, f_b_ref, po_k_ref, po_b_ref,
+    o_ref, *, heads: int,
+):
+    h2 = _attn_part(
+        xg_ref[0], a2_ref[0], pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref,
+        qkv_k_ref, out_k_ref, out_b_ref, heads,
+    )
+    _ff_part(
+        h2, xin_ref, ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref,
+        f_k_ref, f_b_ref, po_k_ref, po_b_ref, o_ref,
+    )
+
+
+def _attn_kernel(
+    xg_ref, a2_ref,
+    pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref,
+    o_ref, *, heads: int,
+):
+    o_ref[0] = _attn_part(
+        xg_ref[0], a2_ref[0], pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref,
+        qkv_k_ref, out_k_ref, out_b_ref, heads,
+    )
+
+
+def _ff_kernel(
+    h2_ref, xin_ref,
+    ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref, f_k_ref, f_b_ref, po_k_ref, po_b_ref,
+    o_ref,
+):
+    # chunk=128: the split form runs at C=640, where the GEGLU weights alone
+    # hold ~10.7 MB of VMEM — the (2*inner, chunk) intermediate must be small
+    _ff_part(
+        h2_ref[0], xin_ref, ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref,
+        f_k_ref, f_b_ref, po_k_ref, po_b_ref, o_ref, chunk=128,
+    )
 
 
 def _xla_reference(x_gn, x_in, attn2_add, w: BlockWeights, heads: int):
@@ -206,35 +249,59 @@ def _fwd_impl(x_gn, x_in, attn2_add, w: BlockWeights, heads: int, interpret: boo
         Na2 = 1
 
     col = lambda x: x.reshape(-1, 1)
-    kern = functools.partial(_block_kernel, heads=heads)
     vm = lambda shape, im: pl.BlockSpec(shape, im, memory_space=pltpu.VMEM)
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    outT = pl.pallas_call(
-        kern,
-        grid=(B,),
-        in_specs=[
-            vm((1, C, N), lambda b: (b, 0, 0)),
-            vm((1, C, N), lambda b: (b, 0, 0)),
-            vm((1, C, Na2), lambda b: (b, 0, 0)),
-        ]
-        + [const()] * 15,
-        out_specs=vm((1, C, N), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
-        cost_estimate=pl.CostEstimate(
-            # qkv+out+proj_in/out + ff + attention, per batch
-            flops=2 * B * N * C * (6 * C + 3 * inner2 // 2) + 4 * B * N * N * C,
-            bytes_accessed=3 * B * N * C * 2,
-            transcendentals=B * N * N * heads + B * N * inner2 // 2,
-        ),
-        interpret=interpret,
-    )(
-        xgT, xinT, a2T,
+    io_spec = vm((1, C, N), lambda b: (b, 0, 0))
+    attn_w = (
         w.pi_k.astype(dt), col(w.pi_b), col(w.ln1_g), col(w.ln1_b),
         w.qkv_k.astype(dt), w.out_k.astype(dt), col(w.out_b),
+    )
+    ff_w = (
         col(w.ln3_g), col(w.ln3_b),
         w.g_k.astype(dt), col(w.g_b), w.f_k.astype(dt), col(w.f_b),
         w.po_k.astype(dt), col(w.po_b),
     )
+    cost = pl.CostEstimate(
+        # qkv+out+proj_in/out + ff + attention, per batch
+        flops=2 * B * N * C * (6 * C + 3 * inner2 // 2) + 4 * B * N * N * C,
+        bytes_accessed=3 * B * N * C * 2,
+        transcendentals=B * N * N * heads + B * N * inner2 // 2,
+    )
+
+    # total bf16 weight bytes resident in VMEM for the single-kernel form;
+    # past the budget (C=640's 14.7 MB) it must split into two kernels
+    w_bytes = 2 * (2 * C * C + 3 * C * C + inner2 * C + C * inner2 // 2)
+    if w_bytes <= _SINGLE_KERNEL_WEIGHT_BYTES:
+        outT = pl.pallas_call(
+            functools.partial(_block_kernel, heads=heads),
+            grid=(B,),
+            in_specs=[io_spec, io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))] + [const()] * 15,
+            out_specs=io_spec,
+            out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xgT, xinT, a2T, *attn_w, *ff_w)
+    else:
+        # split form (the C=640 16^2 sites): attention part, then FF part —
+        # h2 round-trips HBM once, but each kernel's weights fit VMEM
+        h2T = pl.pallas_call(
+            functools.partial(_attn_kernel, heads=heads),
+            grid=(B,),
+            in_specs=[io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))] + [const()] * 7,
+            out_specs=io_spec,
+            out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xgT, a2T, *attn_w)
+        outT = pl.pallas_call(
+            _ff_kernel,
+            grid=(B,),
+            in_specs=[io_spec, io_spec] + [const()] * 8,
+            out_specs=io_spec,
+            out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(h2T, xinT, *ff_w)
     return jnp.swapaxes(outT, 1, 2)
 
 
@@ -267,12 +334,18 @@ transformer_block.defvjp(_fwd, _bwd)
 
 
 def should_fuse_block(C: int, N: int, heads: int) -> bool:
-    """TPU-only; the 32^2 flagship sites (C=320, N=1024). VMEM budget: the
-    fp32 (N, N) logits tile + bf16 weights (~3.6 MB at C=320) + (C, N)
-    working set must stay under the ~16 MB scoped limit.
-    MVDF_DISABLE_PALLAS=1 forces the XLA path."""
+    """TPU-only; the 32^2 (C=320, single kernel) and 16^2 (C=640, split
+    attn/FF kernels) sites. VMEM budget: fp32 (N, N) logits tile + bf16
+    weights + (C, N) working set under the ~16 MB scoped limit; the 8^2
+    C=1280 sites' attention weights alone (~16 MB) do not fit and stay on
+    the XLA path. MVDF_DISABLE_PALLAS=1 forces the XLA path."""
     import os
 
     if jax.default_backend() != "tpu" or os.environ.get("MVDF_DISABLE_PALLAS"):
         return False
-    return C <= 384 and N <= 1024 and C % heads == 0 and (C // heads) % 8 == 0 and N % _FF_CHUNK == 0
+    if C % heads or (C // heads) % 8 or N % 128:
+        return False
+    # measured VMEM envelopes on v5e: single kernel (C=320, N=1024) ~15 MB;
+    # split kernels (C=640, N=256) ~14 MB. The 512^2-stretch's (640, 1024)
+    # combination puts the FF kernel at 25.7 MB — excluded.
+    return (C <= 384 and N <= 1024) or (C <= 768 and N <= 256)

@@ -96,3 +96,36 @@ def test_objaverse_dataset(tmp_path):
     assert scene["images"].shape == (16, 32, 32, 3)
     assert scene["depths"].shape == (16, 32, 32, 1)
     np.testing.assert_allclose(scene["elevation"], 0.5235987901687622, atol=1e-6)
+
+
+def test_native_decoder_matches_python(tmp_path):
+    """The C++ loader (native/loader.cc) must reproduce the Python path:
+    PNG decode to [0,1], the reference's hard alpha<0.5 white composite
+    (gso_test.py:96-114), and identity at same-size resize."""
+    native = pytest.importorskip("mvdfusion_tpu.native")
+    if not native.available():
+        pytest.skip("native loader not built on this box")
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(7)
+    rgb = (rng.uniform(size=(24, 24, 3)) * 255).astype(np.uint8)
+    alpha = (rng.uniform(size=(24, 24, 1)) * 255).astype(np.uint8)
+    p_rgb = str(tmp_path / "a.png")
+    p_rgba = str(tmp_path / "b.png")
+    imageio.imwrite(p_rgb, rgb)
+    imageio.imwrite(p_rgba, np.concatenate([rgb, alpha], axis=-1))
+
+    out = native.decode_batch([p_rgb, p_rgba], 24, 24, 3, white_composite=True, n_threads=2)
+    assert out.shape == (2, 24, 24, 3) and out.dtype == np.float32
+
+    ref_rgb = rgb.astype(np.float32) / 255.0
+    np.testing.assert_allclose(out[0], ref_rgb, atol=1e-5)
+    # hard composite: alpha < 0.5 -> white (no blending), else foreground
+    m = (alpha.astype(np.float32) / 255.0) < 0.5
+    ref_comp = np.where(m, 1.0, ref_rgb)
+    np.testing.assert_allclose(out[1], ref_comp, atol=1e-5)
+
+    # area downscale stays in range and finite
+    small = native.decode_batch([p_rgb], 12, 12, 3, white_composite=False, n_threads=1)
+    assert small.shape == (1, 12, 12, 3)
+    assert np.isfinite(small).all() and small.min() >= 0.0 and small.max() <= 1.0

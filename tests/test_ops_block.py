@@ -61,6 +61,23 @@ def test_view_aligned_fused_matches_xla(rng):
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+def test_split_form_matches_single(rng, monkeypatch):
+    """Force the two-kernel attn/FF split (the C=640 16^2-site form) by
+    zeroing the weight-residency budget; must match the XLA path."""
+    import mvdfusion_tpu.ops.block as blk
+
+    monkeypatch.setattr(blk, "_SINGLE_KERNEL_WEIGHT_BYTES", 0)
+    B, H, W, C, heads = 2, 8, 8, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 1, 48)), jnp.float32)
+    ref_mod = SpatialTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = SpatialTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, ctx), rng)
+    ref = np.asarray(ref_mod.apply(params, x, ctx))
+    out = np.asarray(fus_mod.apply(params, x, ctx))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
 def test_view_aligned_d3_falls_back(rng):
     """D>1 per-pixel attention depends on x mid-block — must use XLA path."""
     B, H, W, C, heads, Cc = 2, 4, 4, 32, 4, 24
