@@ -41,6 +41,7 @@ from mvdfusion_tpu.geometry.rays import pixel_rays, plucker_coords, rays_to_poin
 from mvdfusion_tpu.nn.layers import Dtype, LayerNormFp32, Mlp, TimmAttention
 from mvdfusion_tpu.ops.crossview import (
     AggregatorWeights,
+    GeoWeights,
     crossview_aggregate,
     should_fuse_crossview,
 )
@@ -209,13 +210,11 @@ class GridAttn(nn.Module):
         ndc_in = transform_points_ndc(input_cameras, pts_flat)  # (1, N, 3)
 
         # ---- 4. geometric embeddings (:333-361) ----------------------------
+        # (the per-REFERENCE-view plücker/depth harmonics are computed inside
+        # the fused kernel on the TPU path — see the use_kernel branch below;
+        # the XLA fallback computes them explicitly)
         hembed = lambda a: harmonic_embed(a, self.n_harmonic, self.omega0)
         centers = camera_center(batch_cameras)  # (V, 3)
-        ref_dir = pts_flat[0][None] - centers[:, None]  # (V, N, 3)
-        ref_depth = jnp.linalg.norm(ref_dir, axis=-1, keepdims=True)
-        ref_depth_e = hembed(ref_depth)  # (V, N, 15)
-        ref_dir = ref_dir / jnp.maximum(jnp.linalg.norm(ref_dir, axis=-1, keepdims=True), 1e-12)
-        ref_plucker = hembed(plucker_coords(centers[:, None], ref_dir))  # (V, N, 90)
 
         q_dir = rays.directions / jnp.maximum(
             jnp.linalg.norm(rays.directions, axis=-1, keepdims=True), 1e-12
@@ -267,14 +266,36 @@ class GridAttn(nn.Module):
             )
         )
         if use_kernel:
-            # ---- fused Pallas path: gather + projection + DiT + pool in one
-            # kernel, token tensor never touches HBM (ops/crossview.py) -----
-            geo = jnp.concatenate(
-                [ref_plucker.astype(dt), ref_depth_e.astype(dt), mask_tok], axis=-1
-            )  # (V, N, 106)
-            k_geo = jnp.concatenate(
-                [proj.part_kernel(2), proj.part_kernel(3), proj.part_kernel(6)], axis=0
+            # ---- fused Pallas path: geo build + gather + projection + DiT +
+            # pool in one kernel; neither the token tensor nor the harmonic
+            # embeddings ever touch HBM (ops/crossview.py) ------------------
+            # reorganise the factorized projector's plucker(90)/depth(15)
+            # kernels into the kernel's [raw | sin freq-major | cos] rows
+            # (harmonic layout: per-dim blocks of n_harmonic, sin then cos,
+            # raw input appended — geometry/harmonics.py)
+            nh = self.n_harmonic
+            P90 = proj.part_kernel(2)  # (90, hid) plucker6 embed
+            P15 = proj.part_kernel(3)  # (15, hid) depth embed
+            hs = self.hidden_size
+            kx = jnp.concatenate([P90[12 * nh :], P15[2 * nh :]], axis=0)  # (7, hid)
+            sin_all = jnp.concatenate(
+                [jnp.swapaxes(P90[: 6 * nh].reshape(6, nh, hs), 0, 1), P15[:nh].reshape(nh, 1, hs)],
+                axis=1,
+            ).reshape(7 * nh, hs)
+            cos_all = jnp.concatenate(
+                [
+                    jnp.swapaxes(P90[6 * nh : 12 * nh].reshape(6, nh, hs), 0, 1),
+                    P15[nh : 2 * nh].reshape(nh, 1, hs),
+                ],
+                axis=1,
+            ).reshape(7 * nh, hs)
+            kgeo = GeoWeights(
+                kall=jnp.concatenate([kx, sin_all, cos_all], axis=0),
+                kmask=proj.part_kernel(6),
             )
+            # static python floats (harmonic_frequencies returns a traced
+            # jnp array under jit); logspace layout per geometry/harmonics.py
+            freqs = tuple(float(self.omega0 * 2.0**k) for k in range(nh))
             av = aggregator.variables["params"]
             L = self.num_layers
             stack = lambda f: jnp.stack([f(av[f"block_{i}"]) for i in range(L)])
@@ -307,17 +328,25 @@ class GridAttn(nn.Module):
             # positional call: custom_vjp + nondiff_argnums
             frustum = crossview_aggregate(
                 -ndc_all[..., :2],
-                geo,
+                pts_flat[0],
+                centers,
+                predict_mask,
                 acc_b[0],
                 view_feat_p,
-                k_geo,
+                kgeo,
                 weights,
                 self.num_heads,
                 64,
                 mode == "interpret",
+                freqs,
             )
             return frustum.reshape(B, H, W, D, self.output_dim)
 
+        ref_dir = pts_flat[0][None] - centers[:, None]  # (V, N, 3)
+        ref_depth = jnp.linalg.norm(ref_dir, axis=-1, keepdims=True)
+        ref_depth_e = hembed(ref_depth)  # (V, N, 15)
+        ref_dir = ref_dir / jnp.maximum(jnp.linalg.norm(ref_dir, axis=-1, keepdims=True), 1e-12)
+        ref_plucker = hembed(plucker_coords(centers[:, None], ref_dir))  # (V, N, 90)
         acc_v = (
             sample(view_feat_p, -ndc_all[..., :2])
             + proj.part(2, ref_plucker.astype(dt))

@@ -56,6 +56,22 @@ class AggregatorWeights(NamedTuple):
     fin_b: jnp.ndarray  # (out_dim,)
 
 
+class GeoWeights(NamedTuple):
+    """Projection kernels for the geometric token parts, reorganised so the
+    kernel can compute the harmonic embedding ON-CHIP from the raw 7-vector
+    X = [ray direction (3) | o x d Plücker moment (3) | depth (1)]:
+
+        tok_geo = X_aug^T @ kall + mask * kmask
+        X_aug   = [X | sin(f_k X) for k | cos(f_k X) for k]   (7*(1+2*nh), TN)
+
+    This replaces what used to be ~0.7 ms/step of XLA-side prep per
+    denoising step (the skinny 7/42-lane plücker + sin/cos + concat tensors
+    ran at ~5% lane occupancy; tools/step_trace.py)."""
+
+    kall: jnp.ndarray  # (7*(1+2*nh), hid) rows [raw | sin freq-major | cos]
+    kmask: jnp.ndarray  # (1, hid)
+
+
 def _layernorm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """Affine-free LayerNorm in fp32 (DiT adaLN-Zero norm)."""
     x = x.astype(jnp.float32)
@@ -82,12 +98,39 @@ def _gelu(x):
     return x * 0.5 * (1.0 + _erf(x.astype(jnp.float32) * (2.0**-0.5))).astype(x.dtype)
 
 
+def _geo_aug_t(ptsT, center, freqs):
+    """Transposed geometric features for one view: X_aug (7*(1+2nh), TN).
+
+    ptsT: (3, TN) world points, center: (3, 1). Computes ray dir, Plücker
+    moment o x d, metric depth, then [raw | sin(f_k X) | cos(f_k X)] —
+    everything with channels in SUBLANES so the 3/7-row math runs at full
+    lane occupancy (the XLA-side equivalent ran these 7-lane tensors at ~5%
+    occupancy)."""
+    f32 = jnp.float32
+    dirs = ptsT.astype(f32) - center.astype(f32)  # (3, TN)
+    depth = jnp.sqrt(jnp.sum(dirs * dirs, axis=0, keepdims=True))  # (1, TN)
+    dirn = dirs / jnp.maximum(depth, 1e-12)
+    cx, cy, cz = center[0:1], center[1:2], center[2:3]  # (1, 1)
+    dx, dy, dz = dirn[0:1], dirn[1:2], dirn[2:3]  # (1, TN)
+    mom = jnp.concatenate(
+        [cy * dz - cz * dy, cz * dx - cx * dz, cx * dy - cy * dx], axis=0
+    )  # (3, TN) o x d
+    X = jnp.concatenate([dirn, mom, depth], axis=0)  # (7, TN)
+    S = jnp.concatenate([X * f for f in freqs], axis=0)  # (7*nh, TN) freq-major
+    return jnp.concatenate([X, jnp.sin(S), jnp.cos(S)], axis=0)
+
+
 def _kernel(
     xy_ref,  # (V, TN, 2) negated NDC
-    geo_ref,  # (V, TN, G) raw geo parts [plucker 90 | depth 15 | mask 1]
+    ptsT_ref,  # (1, 3, TN) world points, transposed and pre-blocked — the
+    # block's last two dims equal the array's, satisfying Mosaic's
+    # (8,128)-divisibility-or-whole block rule at any TN
+    centers_ref,  # (V, 3, 1) camera centers
+    mask_ref,  # (V, 1, 1) predict mask
     bacc_ref,  # (TN, hid) view-invariant accumulation incl. bias
     maps_ref,  # (V, HW, hid) projected view feature maps
-    kgeo_ref,  # (G, hid) stacked kernel slices for the geo parts
+    kall_ref,  # (7*(1+2nh), hid) geo projection, rows match _geo_aug_t
+    kmask_ref,  # (1, hid)
     qkv_k_ref, qkv_b_ref, proj_k_ref, proj_b_ref,
     fc1_k_ref, fc1_b_ref, fc2_k_ref, fc2_b_ref,
     mods_ref,  # (L, 6, hid)
@@ -99,113 +142,148 @@ def _kernel(
     W: int,
     heads: int,
     layers: int,
+    freqs: tuple,
 ):
     TN = xy_ref.shape[1]
     hid = maps_ref.shape[-1]
     dh = hid // heads
     f32 = jnp.float32
+    dt = maps_ref.dtype
 
-    # ---- token build: bilinear gather (on-chip one-hot matmul) + geo ------
-    col = jax.lax.broadcasted_iota(jnp.int32, (TN, H * W), 1)
-    kgeo = kgeo_ref[...]
+    # flat-grid bilinear hat weights: Wm[t, y*W+x'] = relu(1-|x_t-x'|) *
+    # relu(1-|y_t-y'|) — exactly the 4-tap one-hot build (incl. the border
+    # clamp) in 7 VPU ops instead of 11 + int conversions
+    col_x = jax.lax.broadcasted_iota(jnp.int32, (TN, H * W), 1) % W
+    col_y = jax.lax.broadcasted_iota(jnp.int32, (TN, H * W), 1) // W
+    ptsT = ptsT_ref[0]  # (3, TN)
     toks = []
     for v in range(V):
         xy = xy_ref[v].astype(f32)
-        x = jnp.clip((xy[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
-        y = jnp.clip((xy[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
-        ix0 = jnp.floor(x)
-        iy0 = jnp.floor(y)
-        tx = (x - ix0)[:, None]
-        ty = (y - iy0)[:, None]
-        ix0 = ix0.astype(jnp.int32)
-        iy0 = iy0.astype(jnp.int32)
-        ix1 = jnp.minimum(ix0 + 1, W - 1)
-        iy1 = jnp.minimum(iy0 + 1, H - 1)
-        Wm = (
-            jnp.where(col == (iy0 * W + ix0)[:, None], (1 - tx) * (1 - ty), 0.0)
-            + jnp.where(col == (iy0 * W + ix1)[:, None], tx * (1 - ty), 0.0)
-            + jnp.where(col == (iy1 * W + ix0)[:, None], (1 - tx) * ty, 0.0)
-            + jnp.where(col == (iy1 * W + ix1)[:, None], tx * ty, 0.0)
+        x = jnp.clip((xy[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)[:, None]
+        y = jnp.clip((xy[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)[:, None]
+        Wm = jnp.maximum(0.0, 1.0 - jnp.abs(x - col_x)) * jnp.maximum(
+            0.0, 1.0 - jnp.abs(y - col_y)
         )
-        feat = maps_ref[v]
-        tok = jnp.dot(Wm.astype(feat.dtype), feat, preferred_element_type=f32)
-        tok = tok + jnp.dot(geo_ref[v], kgeo, preferred_element_type=f32)
+        tok = jnp.dot(Wm.astype(dt), maps_ref[v], preferred_element_type=f32)
+        aug = _geo_aug_t(ptsT, centers_ref[v], freqs)  # (7*(1+2nh), TN)
+        tok = tok + jax.lax.dot_general(
+            aug.astype(dt), kall_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        tok = tok + mask_ref[v].astype(f32) * kmask_ref[...].astype(f32)
         toks.append(tok)
     x = jnp.stack(toks, axis=1)  # (TN, V, hid) f32
     x = _gelu(x + bacc_ref[...].astype(f32)[:, None, :])
 
     # ---- DiT stack over the V axis ----------------------------------------
+    # Multi-head structure via 0/1 segment matrices (Mosaic supports neither
+    # minor-dim-splitting reshapes nor >2D gathers). Logits live PACKED as
+    # (TN*V, V*heads) — w-major lanes — so the softmax runs at 64/128 lane
+    # occupancy instead of the heads-minor (TN,V,V,8) form's 8/128, and the
+    # softmax-over-w group structure is one group-sum matmul.
+    VH = V * heads
+    seg_w = []  # (hid, VH) per source view: seg at lane block w*heads
+    segT_w = []  # (VH, hid) transposed expanders
+    d_head = jax.lax.broadcasted_iota(jnp.int32, (hid, VH), 0) // dh
+    j_head = jax.lax.broadcasted_iota(jnp.int32, (hid, VH), 1) % heads
+    j_view = jax.lax.broadcasted_iota(jnp.int32, (hid, VH), 1) // heads
+    dT_head = jax.lax.broadcasted_iota(jnp.int32, (VH, hid), 1) // dh
+    jT_head = jax.lax.broadcasted_iota(jnp.int32, (VH, hid), 0) % heads
+    jT_view = jax.lax.broadcasted_iota(jnp.int32, (VH, hid), 0) // heads
+    for w_i in range(V):
+        seg_w.append(((d_head == j_head) & (j_view == w_i)).astype(f32))
+        segT_w.append(((dT_head == jT_head) & (jT_view == w_i)).astype(f32))
+    # same-head group matrix for the packed softmax denominator
+    G = (
+        jax.lax.broadcasted_iota(jnp.int32, (VH, VH), 0) % heads
+        == jax.lax.broadcasted_iota(jnp.int32, (VH, VH), 1) % heads
+    ).astype(f32)
+
     xf = x.reshape(TN * V, hid)
+    scale = dh ** -0.5
     for l in range(layers):
         m = mods_ref[l].astype(f32)  # (6, hid)
         h = _layernorm(xf) * (1.0 + m[1]) + m[0]
         qkv = (
-            jnp.dot(h.astype(maps_ref.dtype), qkv_k_ref[l], preferred_element_type=f32)
+            jnp.dot(h.astype(dt), qkv_k_ref[l], preferred_element_type=f32)
             + qkv_b_ref[l].astype(f32)
         )
         q, k, vv = jnp.split(qkv, 3, axis=-1)  # lane slices at hid multiples
-        # Mosaic supports neither minor-dim-splitting reshapes nor >2D
-        # gathers, so the multi-head structure is expressed with a 0/1
-        # head-segment matrix instead of (.., heads, dh) reshapes:
-        #   logits[t,v,w,h] = sum_d q[t,v,d] k[t,w,d] seg[d,h]
-        seg = (
-            jax.lax.broadcasted_iota(jnp.int32, (hid, heads), 0) // dh
-            == jax.lax.broadcasted_iota(jnp.int32, (hid, heads), 1)
-        ).astype(f32)
-        q3 = q.reshape(TN, V, hid)  # leading-dim split only
+        q3 = (q * scale).reshape(TN, V, hid)  # leading-dim split only
         k3 = k.reshape(TN, V, hid)
         v3 = vv.reshape(TN, V, hid)
-        prod = jnp.expand_dims(q3, 2) * jnp.expand_dims(k3, 1)  # (TN, V, V, hid)
-        logits = jnp.dot(
-            prod.reshape(TN * V * V, hid), seg, preferred_element_type=f32
-        ) * (dh**-0.5)
-        p = jax.nn.softmax(logits.reshape(TN, V, V, heads), axis=2)
-        p_full = jnp.dot(
-            p.reshape(TN * V * V, heads), seg.T, preferred_element_type=f32
-        ).reshape(TN, V, V, hid)
-        attn = jnp.sum(p_full * jnp.expand_dims(v3, 1), axis=2)  # (TN, V, hid)
+        # packed logits L[tv, w*heads+h] = sum_d q[t,v,d] k[t,w,d] seg[d,h]
+        L = jnp.zeros((TN * V, VH), f32)
+        for w_i in range(V):
+            prod_w = (q3 * k3[:, w_i : w_i + 1, :]).reshape(TN * V, hid)
+            L = L + jnp.dot(prod_w, seg_w[w_i], preferred_element_type=f32)
+        # softmax over w within each head's stride-heads lane group; the
+        # shift uses the full-row max (constant per group -> identical math)
+        M = jnp.max(L, axis=1, keepdims=True)
+        E = jnp.exp(L - M)
+        P = E / jnp.dot(E, G, preferred_element_type=f32)
+        attn = jnp.zeros((TN, V, hid), f32)
+        for w_i in range(V):
+            p_exp = jnp.dot(P, segT_w[w_i], preferred_element_type=f32)  # (TN*V, hid)
+            attn = attn + p_exp.reshape(TN, V, hid) * v3[:, w_i : w_i + 1, :]
         attn = attn.reshape(TN * V, hid)
         attn = (
-            jnp.dot(attn.astype(maps_ref.dtype), proj_k_ref[l], preferred_element_type=f32)
+            jnp.dot(attn.astype(dt), proj_k_ref[l], preferred_element_type=f32)
             + proj_b_ref[l].astype(f32)
         )
         xf = xf + m[2] * attn
         h = _layernorm(xf) * (1.0 + m[4]) + m[3]
         h = _gelu(
-            jnp.dot(h.astype(maps_ref.dtype), fc1_k_ref[l], preferred_element_type=f32)
+            jnp.dot(h.astype(dt), fc1_k_ref[l], preferred_element_type=f32)
             + fc1_b_ref[l].astype(f32)
         )
         h = (
-            jnp.dot(h.astype(maps_ref.dtype), fc2_k_ref[l], preferred_element_type=f32)
+            jnp.dot(h.astype(dt), fc2_k_ref[l], preferred_element_type=f32)
             + fc2_b_ref[l].astype(f32)
         )
         xf = xf + m[5] * h
 
     # ---- softmax pool over V + output projection --------------------------
-    w = jnp.dot(xf.astype(maps_ref.dtype), wl_k_ref[...], preferred_element_type=f32)
+    w = jnp.dot(xf.astype(dt), wl_k_ref[...], preferred_element_type=f32)
     w = (w + wl_b_ref[...].astype(f32)).reshape(TN, V)
     w = jax.nn.softmax(w, axis=-1)
     pooled = jnp.sum(xf.reshape(TN, V, hid) * w[..., None], axis=1)  # (TN, hid)
     out = (
-        jnp.dot(pooled.astype(maps_ref.dtype), fin_k_ref[...], preferred_element_type=f32)
+        jnp.dot(pooled.astype(dt), fin_k_ref[...], preferred_element_type=f32)
         + fin_b_ref[...].astype(f32)
     )
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _xla_reference(xy, geo, b_acc, maps_p, k_geo, w: AggregatorWeights, heads: int):
+def _geo_aug_xla(pts, centers, freqs):
+    """XLA twin of _geo_aug_t (natural orientation): (V, N, 7*(1+2nh))."""
+    f32 = jnp.float32
+    dirs = pts[None].astype(f32) - centers[:, None].astype(f32)  # (V, N, 3)
+    depth = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirn = dirs / jnp.maximum(depth, 1e-12)
+    mom = jnp.cross(jnp.broadcast_to(centers[:, None], dirn.shape), dirn)
+    X = jnp.concatenate([dirn, mom, depth], axis=-1)  # (V, N, 7)
+    S = jnp.concatenate([X * f for f in freqs], axis=-1)  # freq-major
+    return jnp.concatenate([X, jnp.sin(S), jnp.cos(S)], axis=-1)
+
+
+def _xla_reference(xy, pts, centers, mask, b_acc, maps_p, kg: GeoWeights,
+                   w: AggregatorWeights, heads: int, freqs: tuple):
     """Same math in plain XLA — the differentiable twin used for the custom
     VJP (the sampler's 50-step loop never needs gradients; training does)."""
     from mvdfusion_tpu.geometry.gridsample import grid_sample_mxu
 
-    V, N, G = geo.shape
+    V, N, _ = xy.shape
     hid = maps_p.shape[-1]
     L = w.qkv_k.shape[0]
     dt = maps_p.dtype
     f32 = jnp.float32
     gathered = grid_sample_mxu(maps_p, xy.astype(f32))  # (V, N, hid)
-    toks = gathered.astype(f32) + jnp.einsum(
-        "vng,gh->vnh", geo.astype(dt), k_geo.astype(dt), preferred_element_type=f32
+    aug = _geo_aug_xla(pts, centers, freqs)
+    toks = (
+        gathered.astype(f32)
+        + jnp.einsum("vng,gh->vnh", aug.astype(dt), kg.kall.astype(dt), preferred_element_type=f32)
+        + mask[:, None, None].astype(f32) * kg.kmask.astype(f32)
     )
     x = jax.nn.gelu(
         jnp.swapaxes(toks, 0, 1) + b_acc.astype(f32)[:, None, :], approximate=False
@@ -232,47 +310,53 @@ def _xla_reference(xy, geo, b_acc, maps_p, k_geo, w: AggregatorWeights, heads: i
     return out.astype(dt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def crossview_aggregate(
     xy: jnp.ndarray,  # (V, N, 2) negated NDC coords
-    geo: jnp.ndarray,  # (V, N, G) raw geo parts
+    pts: jnp.ndarray,  # (N, 3) world query points
+    centers: jnp.ndarray,  # (V, 3) camera centers
+    mask: jnp.ndarray,  # (V,) predict mask
     b_acc: jnp.ndarray,  # (N, hid)
     maps_p: jnp.ndarray,  # (V, H, W, hid) projected feature maps
-    k_geo: jnp.ndarray,  # (G, hid)
+    kg: GeoWeights,
     w: AggregatorWeights,
     heads: int,
     block_tokens: int = 64,
     interpret: bool = False,
+    freqs: tuple = (),
 ) -> jnp.ndarray:
     """Returns the pooled, projected frustum features (N, out_dim)."""
     return _crossview_fwd_impl(
-        xy, geo, b_acc, maps_p, k_geo, w, heads, block_tokens, interpret
+        xy, pts, centers, mask, b_acc, maps_p, kg, w, heads, block_tokens, interpret, freqs
     )
 
 
-def _crossview_fwd(xy, geo, b_acc, maps_p, k_geo, w, heads, block_tokens, interpret):
-    out = _crossview_fwd_impl(xy, geo, b_acc, maps_p, k_geo, w, heads, block_tokens, interpret)
-    return out, (xy, geo, b_acc, maps_p, k_geo, w)
+def _crossview_fwd(xy, pts, centers, mask, b_acc, maps_p, kg, w, heads, block_tokens, interpret, freqs):
+    out = _crossview_fwd_impl(
+        xy, pts, centers, mask, b_acc, maps_p, kg, w, heads, block_tokens, interpret, freqs
+    )
+    return out, (xy, pts, centers, mask, b_acc, maps_p, kg, w)
 
 
-def _crossview_bwd(heads, block_tokens, interpret, res, g):
-    xy, geo, b_acc, maps_p, k_geo, w = res
+def _crossview_bwd(heads, block_tokens, interpret, freqs, res, g):
+    xy, pts, centers, mask, b_acc, maps_p, kg, w = res
     _, vjp = jax.vjp(
-        lambda xy, geo, b_acc, maps_p, k_geo, w: _xla_reference(
-            xy, geo, b_acc, maps_p, k_geo, w, heads
+        lambda xy, pts, centers, mask, b_acc, maps_p, kg, w: _xla_reference(
+            xy, pts, centers, mask, b_acc, maps_p, kg, w, heads, freqs
         ),
-        xy, geo, b_acc, maps_p, k_geo, w,
+        xy, pts, centers, mask, b_acc, maps_p, kg, w,
     )
     return vjp(g)
 
 
 def _crossview_fwd_impl(
-    xy, geo, b_acc, maps_p, k_geo, w: AggregatorWeights,
-    heads: int, block_tokens: int = 64, interpret: bool = False,
+    xy, pts, centers, mask, b_acc, maps_p, kg: GeoWeights, w: AggregatorWeights,
+    heads: int, block_tokens: int = 64, interpret: bool = False, freqs: tuple = (),
 ) -> jnp.ndarray:
-    V, N, G = geo.shape
+    V, N, _ = xy.shape
     _, H, W_, hid = maps_p.shape
     L = w.qkv_k.shape[0]
+    G = kg.kall.shape[0]
     out_dim = w.fin_k.shape[-1]
     TN = block_tokens
     while N % TN:
@@ -280,31 +364,39 @@ def _crossview_fwd_impl(
     dt = maps_p.dtype
 
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    kern = functools.partial(_kernel, V=V, H=H, W=W_, heads=heads, layers=L)
+    kern = functools.partial(
+        _kernel, V=V, H=H, W=W_, heads=heads, layers=L, freqs=tuple(freqs)
+    )
     return pl.pallas_call(
         kern,
         grid=(N // TN,),
         in_specs=[
             pl.BlockSpec((V, TN, 2), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, TN, G), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TN), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const(), const(),
             pl.BlockSpec((TN, hid), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((V, H * W_, hid), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            const(), const(),
             const(), const(), const(), const(), const(), const(), const(),
-            const(), const(), const(), const(), const(), const(), const(),
+            const(), const(), const(), const(), const(), const(),
         ],
         out_specs=pl.BlockSpec((TN, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, out_dim), dt),
         cost_estimate=pl.CostEstimate(
             flops=2 * V * N * (H * W_ + G) * hid + 2 * N * V * L * 8 * hid * hid,
-            bytes_accessed=(xy.size + geo.size + b_acc.size + maps_p.size) * 4,
-            transcendentals=N * V * (L + 1),
+            bytes_accessed=(xy.size + pts.size + b_acc.size + maps_p.size) * 4,
+            transcendentals=N * V * (L + 1 + 2 * len(freqs)),
         ),
         interpret=interpret,
     )(
-        # xy stays fp32: bilinear coordinates need more than bf16 mantissa
-        xy.astype(jnp.float32), geo.astype(dt), b_acc.astype(dt),
+        # xy/pts stay fp32: bilinear coords and geometry need the mantissa
+        xy.astype(jnp.float32),
+        jnp.swapaxes(pts.reshape(N // TN, TN, 3), 1, 2).astype(jnp.float32),
+        centers.reshape(V, 3, 1).astype(jnp.float32),
+        mask.reshape(V, 1, 1).astype(jnp.float32),
+        b_acc.astype(dt),
         maps_p.reshape(V, H * W_, hid),
-        k_geo.astype(dt),
+        kg.kall.astype(dt), kg.kmask.reshape(1, hid).astype(jnp.float32),
         w.qkv_k.astype(dt), w.qkv_b.reshape(L, 1, -1).astype(dt),
         w.proj_k.astype(dt), w.proj_b.reshape(L, 1, -1).astype(dt),
         w.fc1_k.astype(dt), w.fc1_b.reshape(L, 1, -1).astype(dt),

@@ -54,3 +54,34 @@ def test_crossview_kernel_matches_xla_path(rng, V, H, D):
     np.testing.assert_allclose(out, ref, atol=1e-3)
     # and they should agree far tighter than the 1e-3 bar in fp32
     assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()
+
+
+def test_crossview_kernel_grads_match_xla(rng):
+    """The custom VJP (rematerialized XLA twin) must produce the same
+    gradients as differentiating the XLA path directly."""
+    V, H, D = 3, 8, 1
+    hidden, heads, layers, out_dim = 32, 4, 2, 48
+    kw = dict(
+        input_size=H, in_channels=5, hidden_size=hidden, output_dim=out_dim,
+        num_heads=heads, num_layers=layers, n_pts_per_ray=D,
+    )
+    xla_mod = GridAttn(crossview_kernel="never", **kw)
+    ker_mod = GridAttn(crossview_kernel="interpret", **kw)
+    i = _inputs(rng, V, H, D, hidden)
+    args = (
+        i["cams"], i["mask"], i["t_embed"], i["t"], i["sched"],
+        i["in_lat"], i["in_cams"], jax.random.PRNGKey(1),
+    )
+    params = xla_mod.init(
+        jax.random.PRNGKey(0), i["noisy"], *args, jitter_noise=i["jitter"]
+    )
+
+    def loss(mod):
+        return lambda p, noisy: jnp.sum(
+            mod.apply(p, noisy, *args, jitter_noise=i["jitter"]) ** 2
+        )
+
+    g_ref = jax.grad(loss(xla_mod), argnums=(0, 1))(params, i["noisy"])
+    g_ker = jax.grad(loss(ker_mod), argnums=(0, 1))(params, i["noisy"])
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-3)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mvdfusion_tpu.ops.crossview import AggregatorWeights, _crossview_fwd_impl
+from mvdfusion_tpu.ops.crossview import AggregatorWeights, GeoWeights, _crossview_fwd_impl
 
 ITERS = 100
 
@@ -42,10 +42,14 @@ def main():
         return jnp.asarray(r.standard_normal(s) * scale, jnp.float32)
 
     xy = jnp.asarray(r.uniform(-1, 1, (V, N, 2)), jnp.float32)
-    geo = mk(V, N, G, scale=1.0)
+    pts = mk(N, 3, scale=1.0)
+    centers = mk(V, 3, scale=1.0)
+    mask = jnp.ones((V,), jnp.float32)
     b_acc = mk(N, hid, scale=1.0)
     maps_p = mk(V, H, W, hid, scale=1.0).astype(dt)
-    k_geo = mk(G, hid)
+    nh = 7
+    kgeo = GeoWeights(kall=mk(7 * (1 + 2 * nh), hid), kmask=mk(1, hid))
+    freqs = tuple(float(0.1 * 2.0**k) for k in range(nh))
     w = AggregatorWeights(
         qkv_k=mk(L, hid, 3 * hid), qkv_b=mk(L, 3 * hid),
         proj_k=mk(L, hid, hid), proj_b=mk(L, hid),
@@ -75,7 +79,8 @@ def main():
     for tn in (32, 64, 128, 256, 512):
         t = timed(
             lambda b, tn=tn: _crossview_fwd_impl(
-                xy, geo, b, maps_p, k_geo, w, heads, block_tokens=tn
+                xy, pts, centers, mask, b, maps_p, kgeo, w, heads,
+                block_tokens=tn, freqs=freqs,
             )
         ) - t_null
         print(f"  TN={tn:4d}: {t*1e3:.3f} ms")
