@@ -41,16 +41,18 @@ from mvdfusion_tpu.ops.block import BlockWeights, should_fuse_block, transformer
 from mvdfusion_tpu.ops.image import area_downsample, nearest_upsample2x
 
 
-def _fused_block_weights(proj_in, proj_out, block) -> BlockWeights:
+def _fused_block_weights(norm, proj_in, proj_out, block) -> BlockWeights:
     """Collect a transformer site's params into ops/block.py's transposed
-    layout. `block` is the (uncalled) BasicTransformerBlock /
-    DualAttentionBlock; params exist because init runs the XLA path."""
+    layout. `norm`/`block` etc. are the (uncalled) site modules; params
+    exist because init runs the XLA path."""
+    gn = norm.variables["params"]["GroupNorm_0"]
     pi = proj_in.variables["params"]
     po = proj_out.variables["params"]
     bv = block.variables["params"]
     a1 = bv["attn1"]
     ff = bv["ff"]
     return BlockWeights(
+        gn_g=gn["scale"], gn_b=gn["bias"],
         pi_k=pi["kernel"].T, pi_b=pi["bias"],
         ln1_g=bv["norm1"]["LayerNorm_0"]["scale"], ln1_b=bv["norm1"]["LayerNorm_0"]["bias"],
         qkv_k=jnp.concatenate(
@@ -128,7 +130,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
         x_in = x
-        h = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        norm = GroupNorm32(epsilon=1e-6, name="norm")
         proj_in = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")
         proj_out = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out")
         blocks = [
@@ -145,18 +147,17 @@ class SpatialTransformer(nn.Module):
                 or (self.fuse_mode == "auto" and should_fuse_block(C, H * W, self.heads))
             )
         ):
-            # fused whole-site Pallas kernel (ops/block.py): proj_in ->
+            # fused whole-site Pallas kernel (ops/block.py): GN -> proj_in ->
             # attn1 -> attn2(1-token ctx) -> FF -> proj_out -> +x_in
             a2 = _attn2_contribution(blocks[0], context[:, 0], self.dtype)  # (B, C)
-            w = _fused_block_weights(proj_in, proj_out, blocks[0])
+            w = _fused_block_weights(norm, proj_in, proj_out, blocks[0])
             # positional call: custom_vjp + nondiff_argnums
             out = transformer_block(
-                h.reshape(B, H * W, C).astype(self.dtype),
                 x_in.reshape(B, H * W, C).astype(self.dtype),
                 a2, w, self.heads, self.fuse_mode == "interpret",
             )
             return out.reshape(B, H, W, C)
-        h = proj_in(h)
+        h = proj_in(norm(x))
         h = h.reshape(B, H * W, -1)
         for blk in blocks:
             h = blk(h, context)
@@ -211,7 +212,7 @@ class ViewAlignedFeatureTransformer(nn.Module):
         B, H, W, C = x.shape
         D = volume.shape[3]
         x_in = x
-        h = GroupNorm32(epsilon=1e-6, name="norm")(x).reshape(B, H * W, C)
+        norm = GroupNorm32(epsilon=1e-6, name="norm")
         proj_in = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")
         proj_out = nn.Dense(C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out")
         blocks = [
@@ -233,16 +234,15 @@ class ViewAlignedFeatureTransformer(nn.Module):
             # with one key), precomputed as one clean (B*HW, Cc) matmul pair
             ctx = volume.reshape(B, H * W, volume.shape[4])
             a2 = _attn2_contribution(blocks[0], ctx, self.dtype)  # (B, HW, C)
-            w = _fused_block_weights(proj_in, proj_out, blocks[0])
+            w = _fused_block_weights(norm, proj_in, proj_out, blocks[0])
             # positional call: custom_vjp + nondiff_argnums
             out = transformer_block(
-                h.astype(self.dtype),
                 x_in.reshape(B, H * W, C).astype(self.dtype),
                 a2, w, self.heads, self.fuse_mode == "interpret",
             )
             return out.reshape(B, H, W, C)
         ctx = volume.reshape(B, H * W, volume.shape[3], volume.shape[4])
-        h = proj_in(h)
+        h = proj_in(norm(x).reshape(B, H * W, C))
         for blk in blocks:
             h = blk(h, ctx)
         h = proj_out(h)

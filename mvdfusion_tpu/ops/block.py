@@ -69,6 +69,8 @@ _SINGLE_KERNEL_WEIGHT_BYTES = 8 * 1024 * 1024
 class BlockWeights(NamedTuple):
     """All weights transposed to (out_features, in_features)."""
 
+    gn_g: jnp.ndarray  # (C,) site GroupNorm scale (fp32)
+    gn_b: jnp.ndarray  # (C,)
     pi_k: jnp.ndarray  # (C, C)   proj_in
     pi_b: jnp.ndarray  # (C,)
     ln1_g: jnp.ndarray  # (C,) fp32
@@ -96,6 +98,35 @@ def _ln_t(h, g_ref, b_ref):
     return (y * g_ref[...].astype(f32) + b_ref[...].astype(f32)).astype(h.dtype)
 
 
+_GN_GROUPS = 32
+_GN_EPS = 1e-6  # the SpatialTransformer/ViewAligned site GN (attention.py:254)
+
+
+def _gn_t(x, g_ref, b_ref):
+    """GroupNorm(32) of a transposed (C, N) batch tile, fp32 stats — same
+    E[x^2]-E[x]^2 semantics as ops/groupnorm.py / nn.layers.GroupNorm32.
+    Group aggregation over the contiguous C/G sublane bands via a 0/1
+    segment matmul (no sublane-splitting reshapes)."""
+    f32 = jnp.float32
+    C, N = x.shape
+    cg = C // _GN_GROUPS
+    xf = x.astype(f32)
+    s1 = jnp.sum(xf, axis=1, keepdims=True)  # (C, 1)
+    s2 = jnp.sum(xf * xf, axis=1, keepdims=True)
+    segG = (
+        jax.lax.broadcasted_iota(jnp.int32, (_GN_GROUPS, C), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (_GN_GROUPS, C), 1) // cg
+    ).astype(f32)
+    cnt = float(cg * N)
+    mu = jnp.dot(segG, s1, preferred_element_type=f32) / cnt  # (G, 1)
+    ex2 = jnp.dot(segG, s2, preferred_element_type=f32) / cnt
+    rstd = jax.lax.rsqrt(ex2 - mu * mu + _GN_EPS)
+    mu_c = jnp.dot(segG.T, mu, preferred_element_type=f32)  # (C, 1)
+    rstd_c = jnp.dot(segG.T, rstd, preferred_element_type=f32)
+    y = (xf - mu_c) * (rstd_c * g_ref[...].astype(f32)) + b_ref[...].astype(f32)
+    return y.astype(x.dtype)
+
+
 def _mm(w_ref, h, b_ref=None, dt=None):
     y = jax.lax.dot(w_ref[...], h, preferred_element_type=jnp.float32)
     if b_ref is not None:
@@ -103,14 +134,15 @@ def _mm(w_ref, h, b_ref=None, dt=None):
     return y.astype(dt if dt is not None else h.dtype)
 
 
-def _attn_part(xg, a2, pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref,
-               out_k_ref, out_b_ref, heads: int):
-    """proj_in -> LN1 -> multi-head self-attn -> +res -> +attn2 term."""
+def _attn_part(x_in, a2, gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref, ln1_g_ref,
+               ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref, heads: int):
+    """site GroupNorm -> proj_in -> LN1 -> self-attn -> +res -> +attn2."""
     f32 = jnp.float32
-    C, N = xg.shape
+    C, N = x_in.shape
     dh = C // heads
-    dt = xg.dtype
+    dt = x_in.dtype
 
+    xg = _gn_t(x_in, gn_g_ref, gn_b_ref)
     # proj_in (attention.py:253-257, 1x1 conv == per-token dense)
     h0 = _mm(pi_k_ref, xg, pi_b_ref)  # (C, N)
     ln1 = _ln_t(h0, ln1_g_ref, ln1_b_ref)
@@ -152,14 +184,15 @@ def _ff_part(h2, xin_ref, ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref,
 
 
 def _block_kernel(
-    xg_ref, xin_ref, a2_ref,
+    xin_ref, a2_ref,
+    gn_g_ref, gn_b_ref,
     pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref,
     ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref, f_k_ref, f_b_ref, po_k_ref, po_b_ref,
     o_ref, *, heads: int,
 ):
     h2 = _attn_part(
-        xg_ref[0], a2_ref[0], pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref,
-        qkv_k_ref, out_k_ref, out_b_ref, heads,
+        xin_ref[0], a2_ref[0], gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref,
+        ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref, heads,
     )
     _ff_part(
         h2, xin_ref, ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref,
@@ -168,13 +201,14 @@ def _block_kernel(
 
 
 def _attn_kernel(
-    xg_ref, a2_ref,
+    xin_ref, a2_ref,
+    gn_g_ref, gn_b_ref,
     pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref,
     o_ref, *, heads: int,
 ):
     o_ref[0] = _attn_part(
-        xg_ref[0], a2_ref[0], pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref,
-        qkv_k_ref, out_k_ref, out_b_ref, heads,
+        xin_ref[0], a2_ref[0], gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref,
+        ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref, heads,
     )
 
 
@@ -191,13 +225,14 @@ def _ff_kernel(
     )
 
 
-def _xla_reference(x_gn, x_in, attn2_add, w: BlockWeights, heads: int):
+def _xla_reference(x_in, attn2_add, w: BlockWeights, heads: int):
     """Differentiable plain-XLA twin (natural orientation) used for the
     custom VJP and the kernel's correctness tests. Matches the flax module
-    composition in nn/unet.py (SpatialTransformer / ViewAligned interior)."""
+    composition in nn/unet.py (SpatialTransformer / ViewAligned interior,
+    including the site GroupNorm)."""
     f32 = jnp.float32
-    dt = x_gn.dtype
-    B, N, C = x_gn.shape
+    dt = x_in.dtype
+    B, N, C = x_in.shape
     dh = C // heads
 
     def dense(h, k, b=None):  # k is (out, in) transposed
@@ -212,6 +247,12 @@ def _xla_reference(x_gn, x_in, attn2_add, w: BlockWeights, heads: int):
         var = jnp.mean(hf * hf, axis=-1, keepdims=True) - mu * mu
         y = (hf - mu) * jax.lax.rsqrt(var + _LN_EPS)
         return (y * g.astype(f32) + b.astype(f32)).astype(h.dtype)
+
+    xs = x_in.astype(f32).reshape(B, N, _GN_GROUPS, C // _GN_GROUPS)
+    mu = jnp.mean(xs, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xs), axis=(1, 3), keepdims=True) - jnp.square(mu)
+    x_gn = ((xs - mu) * jax.lax.rsqrt(var + _GN_EPS)).reshape(B, N, C)
+    x_gn = (x_gn * w.gn_g.astype(f32) + w.gn_b.astype(f32)).astype(dt)
 
     h0 = dense(x_gn, w.pi_k, w.pi_b)
     ln1 = ln(h0, w.ln1_g, w.ln1_b)
@@ -234,13 +275,12 @@ def _xla_reference(x_gn, x_in, attn2_add, w: BlockWeights, heads: int):
     return x_in + dense(h3, w.po_k, w.po_b)
 
 
-def _fwd_impl(x_gn, x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
-    B, N, C = x_gn.shape
-    dt = x_gn.dtype
+def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
+    B, N, C = x_in.shape
+    dt = x_in.dtype
     inner2 = w.g_k.shape[0]
 
-    xgT = jnp.swapaxes(x_gn, 1, 2)  # (B, C, N)
-    xinT = jnp.swapaxes(x_in, 1, 2)
+    xinT = jnp.swapaxes(x_in, 1, 2)  # (B, C, N)
     if attn2_add.ndim == 3:
         a2T = jnp.swapaxes(attn2_add, 1, 2)  # (B, C, N)
         Na2 = N
@@ -253,6 +293,7 @@ def _fwd_impl(x_gn, x_in, attn2_add, w: BlockWeights, heads: int, interpret: boo
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     io_spec = vm((1, C, N), lambda b: (b, 0, 0))
     attn_w = (
+        col(w.gn_g), col(w.gn_b),
         w.pi_k.astype(dt), col(w.pi_b), col(w.ln1_g), col(w.ln1_b),
         w.qkv_k.astype(dt), w.out_k.astype(dt), col(w.out_b),
     )
@@ -275,24 +316,24 @@ def _fwd_impl(x_gn, x_in, attn2_add, w: BlockWeights, heads: int, interpret: boo
         outT = pl.pallas_call(
             functools.partial(_block_kernel, heads=heads),
             grid=(B,),
-            in_specs=[io_spec, io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))] + [const()] * 15,
+            in_specs=[io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))] + [const()] * 17,
             out_specs=io_spec,
             out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
             cost_estimate=cost,
             interpret=interpret,
-        )(xgT, xinT, a2T, *attn_w, *ff_w)
+        )(xinT, a2T, *attn_w, *ff_w)
     else:
         # split form (the C=640 16^2 sites): attention part, then FF part —
         # h2 round-trips HBM once, but each kernel's weights fit VMEM
         h2T = pl.pallas_call(
             functools.partial(_attn_kernel, heads=heads),
             grid=(B,),
-            in_specs=[io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))] + [const()] * 7,
+            in_specs=[io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))] + [const()] * 9,
             out_specs=io_spec,
             out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
             cost_estimate=cost,
             interpret=interpret,
-        )(xgT, a2T, *attn_w)
+        )(xinT, a2T, *attn_w)
         outT = pl.pallas_call(
             _ff_kernel,
             grid=(B,),
@@ -305,27 +346,26 @@ def _fwd_impl(x_gn, x_in, attn2_add, w: BlockWeights, heads: int, interpret: boo
     return jnp.swapaxes(outT, 1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def transformer_block(
-    x_gn: jnp.ndarray,  # (B, N, C) GroupNorm output (tokens)
-    x_in: jnp.ndarray,  # (B, N, C) residual input (pre-GN)
+    x_in: jnp.ndarray,  # (B, N, C) raw site input (pre-GN); also the residual
     attn2_add: jnp.ndarray,  # (B, C) per-batch row or (B, N, C) per-token
     w: BlockWeights,
     heads: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """x_in + proj_out(block(proj_in(x_gn))) with the attn2 term injected."""
-    return _fwd_impl(x_gn, x_in, attn2_add, w, heads, interpret)
+    """x_in + proj_out(block(proj_in(GN(x_in)))) with the attn2 term injected."""
+    return _fwd_impl(x_in, attn2_add, w, heads, interpret)
 
 
-def _fwd(x_gn, x_in, attn2_add, w, heads, interpret):
-    return _fwd_impl(x_gn, x_in, attn2_add, w, heads, interpret), (x_gn, x_in, attn2_add, w)
+def _fwd(x_in, attn2_add, w, heads, interpret):
+    return _fwd_impl(x_in, attn2_add, w, heads, interpret), (x_in, attn2_add, w)
 
 
 def _bwd(heads, interpret, res, g):
-    x_gn, x_in, attn2_add, w = res
+    x_in, attn2_add, w = res
     _, vjp = jax.vjp(
-        lambda a, b, c, ww: _xla_reference(a, b, c, ww, heads), x_gn, x_in, attn2_add, w
+        lambda a, c, ww: _xla_reference(a, c, ww, heads), x_in, attn2_add, w
     )
     return vjp(g)
 
@@ -343,7 +383,7 @@ def should_fuse_block(C: int, N: int, heads: int) -> bool:
 
     if jax.default_backend() != "tpu" or os.environ.get("MVDF_DISABLE_PALLAS"):
         return False
-    if C % heads or (C // heads) % 8 or N % 128:
+    if C % heads or (C // heads) % 8 or N % 128 or C % _GN_GROUPS:
         return False
     # measured VMEM envelopes on v5e: single kernel (C=320, N=1024) ~15 MB;
     # split kernels (C=640, N=256) ~14 MB. The 512^2-stretch's (640, 1024)
