@@ -58,6 +58,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     ap.add_argument("--stretch", action="store_true", help="also bench 64^2-latent stretch shape")
+    ap.add_argument(
+        "--train", action="store_true",
+        help="also bench the training step (reference recipe: 1 scene of "
+        "1 input + 5 target views per step, masked AdamW — "
+        "configs/mvd_train.yaml / train.py:87)",
+    )
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument(
         "--scenes", type=int, default=None,
@@ -223,8 +229,59 @@ def main() -> None:
             log(f"[bench:{tag}] cost_analysis unavailable: {e}")
         return vps
 
+    def bench_train(cfg, tag):
+        """Training-step throughput, reference recipe (1 scene, 1 input +
+        5 random target views, shared t, masked AdamW over the trainable
+        subset — train.py:85-95, viewfusion:399-416)."""
+        from mvdfusion_tpu.pipeline.trainer import (
+            TrainConfig, init_train_state, make_train_step,
+        )
+
+        model, params, *_ = build(cfg, 5, img, tag)
+        rng = np.random.default_rng(1)
+        S = 6
+        batch = {
+            "images": jnp.asarray(rng.uniform(size=(1, S, img, img, 3)), jnp.float32),
+        }
+        azim = np.linspace(0.0, 300.0, S)
+        R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=azim + 90.0)
+        batch["R"] = R[None]
+        batch["T"] = T[None]
+        batch["f"] = jnp.full((1, S, 2), 2.1875)
+        batch["c"] = jnp.zeros((1, S, 2))
+        batch["input_idx"] = jnp.zeros((1, 1), jnp.int32)
+        batch["target_idx"] = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+
+        # lr pinned tiny: with RANDOM weights and fresh random noise targets
+        # the reference lr (1e-4) diverges within ~3 AdamW steps (measured
+        # identically with and without the Pallas kernels — the step-1 AdamW
+        # update is a coordinated +-lr shift of every parameter, huge for a
+        # 1B-param net). Step COST is lr-independent; this keeps the timed
+        # losses finite and honest.
+        tc = TrainConfig(lr=1e-8)
+        state = init_train_state(params, tc)
+        step = jax.jit(make_train_step(model, tc), donate_argnums=(0,))
+        t0 = time.time()
+        state, loss = step(state, batch, jax.random.PRNGKey(0))
+        _ = float(loss)
+        log(f"[bench:{tag}] train-step compile+run {time.time()-t0:.1f}s loss={float(loss):.4f}")
+        times = []
+        for i in range(5):
+            t0 = time.time()
+            state, loss = step(state, batch, jax.random.PRNGKey(1 + i))
+            _ = float(loss)
+            times.append(time.time() - t0)
+        sps = 1.0 / sorted(times)[len(times) // 2]
+        log(
+            f"[bench:{tag}] train times={['%.2f' % t for t in times]}s "
+            f"steps/s={sps:.2f} (1 scene, 1+5 views) loss={float(loss):.4f}"
+        )
+
     scenes = args.scenes if args.scenes is not None else 1
     vps = bench_workload(ViewFusionConfig(), n_views, img, steps, "main", scenes=scenes)
+
+    if args.train:
+        bench_train(ViewFusionConfig(), "train")
 
     if args.stretch:
         import dataclasses
