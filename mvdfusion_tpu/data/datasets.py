@@ -52,9 +52,12 @@ def _imread(path: str) -> np.ndarray:
         from PIL import Image
 
         img = np.asarray(Image.open(path))
-    img = img.astype(np.float32)
-    if img.dtype != np.float32 or img.max() > 1.5:
-        img = img / 255.0
+    # The reference divides by 255 regardless of bit depth (objaverse.py:152,
+    # gso_test.py:96): 16-bit depth PNGs deliberately come out in [0, 257].
+    if img.dtype in (np.uint8, np.uint16):
+        img = img.astype(np.float32) / 255.0
+    else:
+        img = img.astype(np.float32)
     if img.ndim == 2:
         img = img[..., None]
     return img
@@ -62,17 +65,22 @@ def _imread(path: str) -> np.ndarray:
 
 def _resize(img: np.ndarray, size: int) -> np.ndarray:
     """Antialiased resize to (size, size) like skimage.transform.resize
-    (gso_test.py:101)."""
+    (gso_test.py:101). Resizes in float32 per channel — no uint8 round-trip,
+    so out-of-[0,1] values (16-bit depth /255) survive like the reference's
+    skimage float path."""
     if img.shape[0] == size and img.shape[1] == size:
         return img
     from PIL import Image
 
-    mode = {1: "L", 3: "RGB", 4: "RGBA"}[img.shape[2]]
-    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8).squeeze(), mode)
-    out = np.asarray(pil.resize((size, size), Image.BILINEAR)).astype(np.float32) / 255.0
-    if out.ndim == 2:
-        out = out[..., None]
-    return out
+    chans = [
+        np.asarray(
+            Image.fromarray(np.ascontiguousarray(img[..., k]), mode="F").resize(
+                (size, size), Image.BILINEAR
+            )
+        )
+        for k in range(img.shape[2])
+    ]
+    return np.stack(chans, axis=-1).astype(np.float32)
 
 
 def _composite_white(rgba: np.ndarray) -> np.ndarray:

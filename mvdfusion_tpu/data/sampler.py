@@ -21,17 +21,21 @@ class StatefulShardedSampler:
         self.num_scenes = num_scenes
         self.batch_size = batch_size
         self.seed = seed
-        self.steps_per_epoch = max(num_scenes // batch_size, 1)
+        # Pad the epoch tail instead of dropping it, like the reference's
+        # StatefulDistributedSampler (utils/data_sampler_utils.py:107-119):
+        # every scene is visited at least once per epoch; the final batch
+        # wraps around to the start of the shuffled order.
+        self.steps_per_epoch = max(-(-num_scenes // batch_size), 1)
         # resume offset within the current epoch (consumed batches)
-        self._offset = start_step % self.steps_per_epoch if num_scenes >= batch_size else 0
+        self._offset = start_step % self.steps_per_epoch
 
     def epoch(self, epoch: int) -> Iterator[List[int]]:
         """Yield batches of scene indices for `epoch`, skipping any batches
         already consumed before a resume."""
         rng = np.random.default_rng(self.seed + epoch)
         order = rng.permutation(self.num_scenes)
-        if self.num_scenes < self.batch_size:  # tiny datasets: sample with wrap
-            order = np.resize(order, self.batch_size * self.steps_per_epoch)
+        # wrap-pad to a whole number of batches (no-op when evenly divisible)
+        order = np.resize(order, self.batch_size * self.steps_per_epoch)
         for i in range(self._offset, self.steps_per_epoch):
             yield order[i * self.batch_size : (i + 1) * self.batch_size].tolist()
 

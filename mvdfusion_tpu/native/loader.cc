@@ -87,7 +87,12 @@ bool decode_png(FILE* fp, Image* out) {
   png_uint_32 w, h;
   int bit_depth, color_type;
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr, nullptr);
-  if (bit_depth == 16) png_set_strip_16(png);
+  // 16-bit samples (Objaverse depth renders, objaverse.py:152) are kept at
+  // full precision and divided by 255 like every other sample — matching
+  // the reference's uniform `imread(...)/255.0` (values may exceed 1.0 for
+  // 16-bit inputs; that is the reference's contract, not a bug here).
+  const bool is16 = (bit_depth == 16) && (color_type != PNG_COLOR_TYPE_PALETTE);
+  if (is16) png_set_swap(png);  // PNG stores big-endian; host is LE
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
@@ -99,11 +104,20 @@ bool decode_png(FILE* fp, Image* out) {
   out->w = w;
   out->c = channels;
   out->data.resize(size_t(h) * w * channels);
-  std::vector<uint8_t> row(size_t(w) * channels);
-  for (png_uint_32 y = 0; y < h; ++y) {
-    png_read_row(png, row.data(), nullptr);
-    float* dst = out->data.data() + size_t(y) * w * channels;
-    for (size_t i = 0; i < row.size(); ++i) dst[i] = row[i] * (1.0f / 255.0f);
+  if (is16) {
+    std::vector<uint16_t> row(size_t(w) * channels);
+    for (png_uint_32 y = 0; y < h; ++y) {
+      png_read_row(png, reinterpret_cast<png_bytep>(row.data()), nullptr);
+      float* dst = out->data.data() + size_t(y) * w * channels;
+      for (size_t i = 0; i < row.size(); ++i) dst[i] = row[i] * (1.0f / 255.0f);
+    }
+  } else {
+    std::vector<uint8_t> row(size_t(w) * channels);
+    for (png_uint_32 y = 0; y < h; ++y) {
+      png_read_row(png, row.data(), nullptr);
+      float* dst = out->data.data() + size_t(y) * w * channels;
+      for (size_t i = 0; i < row.size(); ++i) dst[i] = row[i] * (1.0f / 255.0f);
+    }
   }
   png_destroy_read_struct(&png, &info, nullptr);
   return true;

@@ -156,7 +156,9 @@ class SpatialTransformer(nn.Module):
                 x_in.reshape(B, H * W, C).astype(self.dtype),
                 a2, w, self.heads, self.fuse_mode == "interpret",
             )
-            return out.reshape(B, H, W, C)
+            # match the fallback's `h + x_in` promotion so both gated paths
+            # return the same dtype (e.g. fp32 input with bf16 compute)
+            return out.reshape(B, H, W, C).astype(jnp.promote_types(x_in.dtype, self.dtype))
         h = proj_in(norm(x))
         h = h.reshape(B, H * W, -1)
         for blk in blocks:
@@ -240,7 +242,9 @@ class ViewAlignedFeatureTransformer(nn.Module):
                 x_in.reshape(B, H * W, C).astype(self.dtype),
                 a2, w, self.heads, self.fuse_mode == "interpret",
             )
-            return out.reshape(B, H, W, C)
+            # match the fallback's `h + x_in` promotion so both gated paths
+            # return the same dtype (e.g. fp32 input with bf16 compute)
+            return out.reshape(B, H, W, C).astype(jnp.promote_types(x_in.dtype, self.dtype))
         ctx = volume.reshape(B, H * W, volume.shape[3], volume.shape[4])
         h = proj_in(norm(x).reshape(B, H * W, C))
         for blk in blocks:

@@ -131,7 +131,9 @@ def should_fuse(q, k) -> bool:
         return False
     # K/V + logits tile must fit VMEM comfortably. Mosaic double-buffers the
     # grid-varying K/V blocks, so the budget is ~2*(2*Nk*dh) bf16 bytes plus
-    # the logits tile: Nk*dh <= 2^21 elements keeps the worst case (the VAE
-    # mid-attention) at ~8.5 MB; the 512^2-stretch decode's (4096, 512)
-    # measured 16.5 MB scoped and OOM'd the 16 MB limit.
+    # the logits tile. Gate: Nk*dh <= 2^20 elements. Worst allowed case is
+    # (Nk=1024, dh=512) — the VAE mid-attention at the flagship 256^2 shape,
+    # ~8.5 MB scoped. The excluded (Nk=4096, dh=512) case is the same VAE
+    # mid-attention at the 512^2 stretch: it measured 16.5 MB scoped and
+    # OOM'd the 16 MB VMEM limit.
     return Nk <= 4096 and q.shape[-1] <= 512 and Nk * q.shape[-1] <= (1 << 20)

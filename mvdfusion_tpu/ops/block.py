@@ -309,9 +309,10 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         transcendentals=B * N * N * heads + B * N * inner2 // 2,
     )
 
-    # total bf16 weight bytes resident in VMEM for the single-kernel form;
+    # total bf16 weight bytes resident in VMEM for the single-kernel form:
+    # proj_in + attn-out + proj_out (3*C^2) + qkv (3*C^2) + GEGLU + FF down;
     # past the budget (C=640's 14.7 MB) it must split into two kernels
-    w_bytes = 2 * (2 * C * C + 3 * C * C + inner2 * C + C * inner2 // 2)
+    w_bytes = 2 * (6 * C * C + inner2 * C + C * inner2 // 2)
     if w_bytes <= _SINGLE_KERNEL_WEIGHT_BYTES:
         outT = pl.pallas_call(
             functools.partial(_block_kernel, heads=heads),

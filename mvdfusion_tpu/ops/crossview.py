@@ -218,10 +218,14 @@ def _kernel(
             prod_w = (q3 * k3[:, w_i : w_i + 1, :]).reshape(TN * V, hid)
             L = L + jnp.dot(prod_w, seg_w[w_i], preferred_element_type=f32)
         # softmax over w within each head's stride-heads lane group; the
-        # shift uses the full-row max (constant per group -> identical math)
+        # shift uses the full-row max (constant per group -> identical math
+        # in exact arithmetic). Underflow guard: if one head's logits sit
+        # ~87+ below the row max, its whole group's exps flush to 0 and the
+        # E@G denominator would be 0/0 -> NaN; the clamp turns that
+        # catastrophic case into a zero attention contribution instead.
         M = jnp.max(L, axis=1, keepdims=True)
         E = jnp.exp(L - M)
-        P = E / jnp.dot(E, G, preferred_element_type=f32)
+        P = E / jnp.maximum(jnp.dot(E, G, preferred_element_type=f32), 1e-30)
         attn = jnp.zeros((TN, V, hid), f32)
         for w_i in range(V):
             p_exp = jnp.dot(P, segT_w[w_i], preferred_element_type=f32)  # (TN*V, hid)

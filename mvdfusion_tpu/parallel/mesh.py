@@ -47,37 +47,33 @@ _COLUMN = re.compile(
 _ROW = re.compile(r"(to_out|out_proj|proj$|mlp_proj|fc2|/out/|time_dense2)")
 
 
-def _spec_for(path: str, shape) -> P:
+def _spec_for(path: str, shape, tp: int = 2) -> P:
+    """Sharding spec for one param under a tp-way tensor-parallel axis.
+
+    The divisibility gates use the ACTUAL tp size so the regex intent and
+    the final sharding agree (a tp=4 mesh must not claim P(None, "tp") for a
+    dim divisible by 2 but not 4 and then get silently replicated later)."""
     ndim = len(shape)
     if ndim == 2:
-        if _COLUMN.search(path) and shape[1] % 2 == 0:
+        if _COLUMN.search(path) and shape[1] % tp == 0:
             return P(None, "tp")
-        if _ROW.search(path) and shape[0] % 2 == 0:
+        if _ROW.search(path) and shape[0] % tp == 0:
             return P("tp", None)
         return P()
     if ndim == 4:  # conv kernels (kh, kw, in, out): shard output features
-        if shape[3] % 2 == 0 and shape[3] >= 8:
+        if shape[3] % tp == 0 and shape[3] >= 4 * tp:
             return P(None, None, None, "tp")
         return P()
     return P()
 
 
 def param_shardings(params, mesh: Mesh):
-    """Map a param pytree to NamedShardings under `mesh`.
-
-    Any dim not divisible by the tp axis size falls back to replication —
-    the spec only has to be valid; XLA inserts collectives for correctness.
-    """
+    """Map a param pytree to NamedShardings under `mesh`."""
     tp = mesh.shape["tp"]
 
     def assign(path, leaf):
         pathstr = "/".join(str(getattr(k, "key", k)) for k in path)
-        spec = _spec_for(pathstr, leaf.shape)
-        # verify divisibility; otherwise replicate
-        ok = all(s is None or leaf.shape[i] % tp == 0 for i, s in enumerate(spec))
-        if not ok:
-            spec = P()
-        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, _spec_for(pathstr, leaf.shape, tp))
 
     return jax.tree_util.tree_map_with_path(assign, params)
 

@@ -21,6 +21,7 @@ Reference counterparts:
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -53,6 +54,14 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", k)) for k in path)
 
 
+# Explicit site-name patterns matching nn/unet.py's module naming — an
+# allowlist, so a future module that merely contains "attn" in its name
+# cannot silently become trainable (the reference selects by key substring,
+# unet.py:558-570; we select by exact grafted/spatial site names).
+_GRAFTED_SITE = re.compile(r"^(mid_view_attn|up_\d+_view_attn_\d+)$")
+_SPATIAL_SITE = re.compile(r"^(mid_attn|down_\d+_attn_\d+|up_\d+_attn_\d+)$")
+
+
 def trainable_mask(params, tc: TrainConfig):
     """True for parameters the reference optimizes (unet.py:558-576,
     viewfusion:399-416)."""
@@ -70,9 +79,10 @@ def trainable_mask(params, tc: TrainConfig):
         if p.startswith("params/unet"):
             if tc.finetune_unet:
                 return True
-            if "view_attn" in p:  # grafted ViewAlignedFeatureTransformer
+            site = p.split("/")[2] if p.count("/") >= 2 else ""
+            if _GRAFTED_SITE.match(site):  # grafted ViewAlignedFeatureTransformer
                 return tc.finetune_view_attn
-            if "attn" in p:  # SpatialTransformer stacks (norm/proj/blocks)
+            if _SPATIAL_SITE.match(site):  # SpatialTransformer stacks (norm/proj/blocks)
                 return tc.finetune_cross_attn
             return False
         return False

@@ -129,3 +129,49 @@ def test_native_decoder_matches_python(tmp_path):
     small = native.decode_batch([p_rgb], 12, 12, 3, white_composite=False, n_threads=1)
     assert small.shape == (1, 12, 12, 3)
     assert np.isfinite(small).all() and small.min() >= 0.0 and small.max() <= 1.0
+
+
+def test_native_decoder_nonsquare_and_16bit(tmp_path):
+    """Python fallback and native loader must agree on the corpus the
+    reference actually loads (objaverse.py:136-170): non-square images,
+    JPEG, and 16-bit depth PNGs (which the reference divides by 255 like
+    everything else, so values land in [0, 257])."""
+    native = pytest.importorskip("mvdfusion_tpu.native")
+    if not native.available():
+        pytest.skip("native loader not built on this box")
+    import imageio.v2 as imageio
+
+    from mvdfusion_tpu.data.datasets import _imread
+
+    rng = np.random.default_rng(11)
+    h, w = 20, 32  # non-square
+
+    rgb = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+    p_png = str(tmp_path / "ns.png")
+    imageio.imwrite(p_png, rgb)
+
+    p_jpg = str(tmp_path / "ns.jpg")
+    imageio.imwrite(p_jpg, rgb, quality=95)
+
+    d16 = (rng.uniform(size=(h, w)) * 65535).astype(np.uint16)
+    p_d16 = str(tmp_path / "depth16.png")
+    imageio.imwrite(p_d16, d16)
+
+    # identity-size decode: native == python == raw/255 semantics
+    out_png = native.decode_batch([p_png], h, w, 3, white_composite=False, n_threads=1)[0]
+    np.testing.assert_allclose(out_png, _imread(p_png), atol=1e-5)
+
+    # JPEG: both sides run libjpeg-family decoders; allow IDCT rounding
+    out_jpg = native.decode_batch([p_jpg], h, w, 3, white_composite=False, n_threads=1)[0]
+    np.testing.assert_allclose(out_jpg, _imread(p_jpg), atol=2.0 / 255.0)
+
+    # 16-bit depth: full precision kept, /255 scaling -> values up to ~257
+    out_d16 = native.decode_batch([p_d16], h, w, 1, white_composite=False, n_threads=1)[0]
+    ref_d16 = _imread(p_d16)
+    assert ref_d16.max() > 2.0  # proves the 16-bit range actually survives
+    np.testing.assert_allclose(out_d16, ref_d16, rtol=1e-6, atol=1e-4)
+
+    # non-square downscale: native box filter stays finite/in-range
+    half = native.decode_batch([p_png], h // 2, w // 2, 3, white_composite=False, n_threads=1)
+    assert half.shape == (1, h // 2, w // 2, 3)
+    assert np.isfinite(half).all()
