@@ -313,6 +313,7 @@ class UNetModel(nn.Module):
     transformer_depth: int = 1
     context_dim: int = 768
     dtype: Dtype = jnp.float32
+    fuse_mode: str = "auto"  # auto | never | interpret (see SpatialTransformer)
 
     @nn.compact
     def __call__(
@@ -335,12 +336,14 @@ class UNetModel(nn.Module):
 
         def spatial(name, ch):
             return SpatialTransformer(
-                self.num_heads, ch // self.num_heads, self.transformer_depth, dtype=self.dtype, name=name
+                self.num_heads, ch // self.num_heads, self.transformer_depth,
+                dtype=self.dtype, fuse_mode=self.fuse_mode, name=name
             )
 
         def view_attn(name, ch):
             return ViewAlignedFeatureTransformer(
-                self.num_heads, ch // self.num_heads, self.transformer_depth, dtype=self.dtype, name=name
+                self.num_heads, ch // self.num_heads, self.transformer_depth,
+                dtype=self.dtype, fuse_mode=self.fuse_mode, name=name
             )
 
         # ---- input blocks (stock SD1; no view attention on the way down) --

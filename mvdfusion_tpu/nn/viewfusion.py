@@ -79,6 +79,10 @@ class ViewFusionConfig:
     clip_heads: int = 16
     # compute dtype for the heavy towers
     dtype: Any = jnp.bfloat16
+    # Pallas dispatch for the UNet transformer sites + GridAttn crossview:
+    # "auto" (fuse on TPU when shapes qualify) | "never" | "interpret"
+    # (force the kernels in interpreter mode — CPU parity/sharding tests)
+    fuse_mode: str = "auto"
 
     def tiny(self) -> "ViewFusionConfig":
         """A scaled-down config for tests and CPU dryruns."""
@@ -119,6 +123,7 @@ class ViewFusion(nn.Module):
             transformer_depth=c.unet_transformer_depth,
             context_dim=c.context_dim,
             dtype=c.dtype,
+            fuse_mode=c.fuse_mode,
         )
         self.vae = AutoencoderKL(
             embed_dim=c.vae_embed_dim,
@@ -146,6 +151,7 @@ class ViewFusion(nn.Module):
             keep_top_k_views=c.keep_top_k_views,
             top_k=c.top_k,
             dtype=c.dtype,
+            crossview_kernel=c.fuse_mode,
         )
         # cc_projection: 3-layer MLP over [clip 768 | cam embed 28] with
         # eye/zero init of the first layer (viewfusion:107-115)

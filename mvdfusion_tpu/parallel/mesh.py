@@ -46,6 +46,18 @@ _COLUMN = re.compile(
 )
 _ROW = re.compile(r"(to_out|out_proj|proj$|mlp_proj|fc2|/out/|time_dense2)")
 
+# Fused-kernel exception: the Pallas transformer-site kernels (ops/block.py)
+# and the GridAttn kernel (ops/crossview.py) consume their weight tensors
+# WHOLE inside the kernel, so tp-sharding those weights would make GSPMD
+# all-gather them every step — pure ICI cost with zero matmul-time benefit.
+# They stay replicated. The fused site gate engages only where C <= 768
+# (should_fuse_block), i.e. every affected tensor has min(dim) <= 768; the
+# replication cost is ~15 MB of bf16 weights per chip — negligible. The
+# C=1280 sites (min dim 1280) never fuse and keep the Megatron sharding.
+# Decision + measurement notes: docs/ARCHITECTURE.md §6.
+_FUSED_SITE = re.compile(r"(mid_attn|down_\d+_attn_\d+|up_\d+_attn_\d+)/")
+_FUSED_MIN_DIM = 768
+
 
 def _spec_for(path: str, shape, tp: int = 2) -> P:
     """Sharding spec for one param under a tp-way tensor-parallel axis.
@@ -54,7 +66,12 @@ def _spec_for(path: str, shape, tp: int = 2) -> P:
     the final sharding agree (a tp=4 mesh must not claim P(None, "tp") for a
     dim divisible by 2 but not 4 and then get silently replicated later)."""
     ndim = len(shape)
+    if path.startswith("params/view_attn"):
+        # GridAttn weights ride whole into the fused crossview kernel
+        return P()
     if ndim == 2:
+        if _FUSED_SITE.search(path) and min(shape) <= _FUSED_MIN_DIM:
+            return P()
         if _COLUMN.search(path) and shape[1] % tp == 0:
             return P(None, "tp")
         if _ROW.search(path) and shape[0] % tp == 0:
