@@ -1,0 +1,160 @@
+"""Analytic synthetic multi-view RGB-D scenes (the learning-proof dataset).
+
+The reference's purpose is training (train.py:27-214) models whose samples
+re-render the object from novel poses (demo.py:85-147), but no reference
+dataset ships in this environment. This module renders scenes of colored
+Lambertian spheres ANALYTICALLY — exact RGB and exact view-space depth —
+under the standard 16-view rig (data/rigs.py, dataset/gso_test.py:48-56),
+using this framework's own camera/ray stack (geometry/rays.py) so the
+rendered depth is in exactly the convention GridAttn unprojects
+(view_attn_efficient2.py:432: metric = unnormalize(d)*2.0+0.5, i.e. the
+stored [0,1] depth maps to metric z = stored*2+0.5).
+
+Returned dicts follow the Objaverse/GSO contract (data/datasets.py):
+{index, idx, images (S,H,W,3) [0,1], R, T, f, c, azimuth, elevation,
+ depths (S,H,W,1), masks (S,H,W,1)}.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mvdfusion_tpu.data.rigs import AZIMUTHS_16, ELEVATIONS_16, fixed_rig
+
+# saturated, mutually distant base colors
+_PALETTE = np.asarray(
+    [
+        [0.90, 0.15, 0.15],
+        [0.15, 0.60, 0.90],
+        [0.20, 0.80, 0.25],
+        [0.95, 0.75, 0.10],
+        [0.70, 0.20, 0.85],
+        [0.95, 0.45, 0.10],
+        [0.10, 0.80, 0.75],
+        [0.90, 0.30, 0.60],
+    ],
+    np.float32,
+)
+
+_LIGHT = np.asarray([0.5, 1.0, 0.3], np.float32)
+_LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
+
+# stored-depth convention: metric z = stored * 2.0 + 0.5 (GridAttn)
+DEPTH_SCALE = 2.0
+DEPTH_SHIFT = 0.5
+BACKGROUND_STORED_DEPTH = 1.0  # metric 2.5, just past the far side of the rig
+
+
+def metric_to_stored(z: np.ndarray) -> np.ndarray:
+    return (z - DEPTH_SHIFT) / DEPTH_SCALE
+
+
+class SyntheticScenes:
+    """n_scenes procedurally-seeded sphere scenes, 16 fixed views each."""
+
+    n_views = 16
+
+    def __init__(
+        self,
+        n_scenes: int = 4,
+        image_size: int = 64,
+        seed: int = 0,
+        n_spheres: int = 3,
+    ):
+        self.n_scenes = n_scenes
+        self.image_size = image_size
+        self.seed = seed
+        self.n_spheres = n_spheres
+        self.R, self.T, self.f, self.c = fixed_rig(AZIMUTHS_16, ELEVATIONS_16)
+        self._rays = self._compute_rays()
+
+    def _compute_rays(self):
+        """Per-pixel world rays from the framework's own geometry stack
+        (computed once; the fixed rig is shared by all scenes)."""
+        import jax
+
+        from mvdfusion_tpu.geometry.cameras import make_cameras
+        from mvdfusion_tpu.geometry.rays import pixel_rays
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            cams = make_cameras(self.R, self.T, self.f, self.c)
+            rays = pixel_rays(cams, self.image_size, self.image_size)
+            return np.asarray(rays.origins), np.asarray(rays.directions)
+
+    def __len__(self) -> int:
+        return self.n_scenes
+
+    def scene_params(self, index: int):
+        """Sphere centers (K,3), radii (K,), colors (K,3) for scene
+        `index` — deterministic in (seed, index)."""
+        rng = np.random.default_rng(self.seed * 10_007 + index)
+        k = self.n_spheres
+        # centers in a ball of radius 0.35 (rig half-FOV covers ~0.68 at
+        # the origin plane, so centers+radii stay fully in frame)
+        u = rng.normal(size=(k, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        centers = u * rng.uniform(0.08, 0.35, size=(k, 1))
+        radii = rng.uniform(0.12, 0.26, size=(k,))
+        colors = _PALETTE[rng.choice(len(_PALETTE), size=k, replace=False)]
+        return centers.astype(np.float32), radii.astype(np.float32), colors
+
+    def render(self, index: int):
+        """Analytic render of scene `index` for all 16 views.
+
+        Returns (images (V,H,W,3), stored_depth (V,H,W,1), mask (V,H,W,1)).
+        Ray param t IS the view-space depth (geometry/rays.py: directions
+        are z-depth-normalised), so sphere intersection yields metric depth
+        directly.
+        """
+        centers, radii, colors = self.scene_params(index)
+        o, d = self._rays  # (V, H, W, 3) each
+        V, H, W, _ = o.shape
+
+        t_best = np.full((V, H, W), np.inf, np.float32)
+        hit_idx = np.full((V, H, W), -1, np.int32)
+        a = np.sum(d * d, axis=-1)  # (V, H, W)
+        for k in range(len(radii)):
+            oc = o - centers[k]
+            b = 2.0 * np.sum(d * oc, axis=-1)
+            cc = np.sum(oc * oc, axis=-1) - radii[k] ** 2
+            disc = b * b - 4.0 * a * cc
+            valid = disc > 0.0
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t = (-b - sq) / (2.0 * a)
+            valid &= t > 1e-3
+            closer = valid & (t < t_best)
+            t_best = np.where(closer, t, t_best)
+            hit_idx = np.where(closer, k, hit_idx)
+
+        mask = hit_idx >= 0
+        t_safe = np.where(mask, t_best, DEPTH_SHIFT + DEPTH_SCALE * BACKGROUND_STORED_DEPTH)
+
+        # Lambertian shading, view-independent (so cross-view colors agree)
+        pts = o + d * t_safe[..., None]
+        img = np.ones((V, H, W, 3), np.float32)  # white background
+        for k in range(len(radii)):
+            sel = hit_idx == k
+            if not sel.any():
+                continue
+            n = (pts[sel] - centers[k]) / radii[k]
+            lam = np.maximum(n @ _LIGHT, 0.0)
+            img[sel] = colors[k] * (0.35 + 0.65 * lam[:, None])
+
+        stored = np.clip(metric_to_stored(t_safe), 0.0, 1.0).astype(np.float32)
+        return img, stored[..., None], mask[..., None].astype(np.float32)
+
+    def __getitem__(self, index: int) -> dict:
+        images, depths, masks = self.render(index)
+        return {
+            "index": index,
+            "idx": f"synthetic_{self.seed}_{index}",
+            "images": images,
+            "R": self.R,
+            "T": self.T,
+            "f": self.f,
+            "c": self.c,
+            "azimuth": AZIMUTHS_16.astype(np.float32),
+            "elevation": ELEVATIONS_16.astype(np.float32),
+            "depths": depths,
+            "masks": masks,
+        }
