@@ -18,9 +18,13 @@ Design notes (TPU):
     matmuls would run at ~2% utilization, and the arithmetic is tiny.
   * adaLN modulation is shared-t (reference :438): the 6 modulation vectors
     per layer are precomputed outside and broadcast in-kernel.
-  * Gated to HW <= 2048 (map must fit VMEM) and top_k off; the XLA path in
-    nn/viewattn.py (factorized projector) covers everything else, including
-    the 512^2 stretch config.
+  * Two paths by map size: when all V projected maps fit VMEM together
+    (flagship 32^2: 4 MB) everything runs as ONE kernel per token block;
+    bigger maps (the 512^2-class stretch: 64^2 latents, 16 MB of maps) run
+    TWO phases — a gather kernel with views outer (one view's map resident
+    per sweep) writing bf16 tokens, then a DiT+pool kernel over token
+    blocks. Gated to HW <= 8192 and top_k off; the XLA path in
+    nn/viewattn.py (factorized projector) covers everything else.
 
 The wrapper `crossview_aggregate` takes plain arrays (weights bundled by the
 caller — nn/viewattn.py extracts them from the Flax scope) so the kernel is
@@ -174,13 +178,34 @@ def _kernel(
         toks.append(tok)
     x = jnp.stack(toks, axis=1)  # (TN, V, hid) f32
     x = _gelu(x + bacc_ref[...].astype(f32)[:, None, :])
+    _dit_pool(
+        x, qkv_k_ref, qkv_b_ref, proj_k_ref, proj_b_ref, fc1_k_ref, fc1_b_ref,
+        fc2_k_ref, fc2_b_ref, mods_ref, wl_k_ref, wl_b_ref, fin_k_ref,
+        fin_b_ref, out_ref, V=V, heads=heads, layers=layers, dt=dt,
+    )
 
-    # ---- DiT stack over the V axis ----------------------------------------
-    # Multi-head structure via 0/1 segment matrices (Mosaic supports neither
-    # minor-dim-splitting reshapes nor >2D gathers). Logits live PACKED as
-    # (TN*V, V*heads) — w-major lanes — so the softmax runs at 64/128 lane
-    # occupancy instead of the heads-minor (TN,V,V,8) form's 8/128, and the
-    # softmax-over-w group structure is one group-sum matmul.
+
+def _dit_pool(
+    x,  # (TN, V, hid) f32 gelu'd tokens
+    qkv_k_ref, qkv_b_ref, proj_k_ref, proj_b_ref,
+    fc1_k_ref, fc1_b_ref, fc2_k_ref, fc2_b_ref,
+    mods_ref, wl_k_ref, wl_b_ref, fin_k_ref, fin_b_ref,
+    out_ref,  # (TN, out_dim)
+    *, V: int, heads: int, layers: int, dt,
+):
+    """The adaLN-Zero DiT stack over the V axis + softmax pool + output
+    projection — shared by the single-kernel path and the two-phase
+    (gather, then DiT) stretch path.
+
+    Multi-head structure via 0/1 segment matrices (Mosaic supports neither
+    minor-dim-splitting reshapes nor >2D gathers). Logits live PACKED as
+    (TN*V, V*heads) — w-major lanes — so the softmax runs at 64/128 lane
+    occupancy instead of the heads-minor (TN,V,V,8) form's 8/128, and the
+    softmax-over-w group structure is one group-sum matmul.
+    """
+    TN, _, hid = x.shape
+    dh = hid // heads
+    f32 = jnp.float32
     VH = V * heads
     seg_w = []  # (hid, VH) per source view: seg at lane block w*heads
     segT_w = []  # (VH, hid) transposed expanders
@@ -257,6 +282,64 @@ def _kernel(
         + fin_b_ref[...].astype(f32)
     )
     out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _gather_kernel(
+    xy_ref,  # (1, TN, 2) this view's negated NDC for this token block
+    ptsT_ref,  # (1, 3, TN)
+    centers_ref,  # (1, 3, 1)
+    mask_ref,  # (1, 1, 1)
+    maps_ref,  # (1, HW, hid) this view's projected map (resident per view)
+    kall_ref, kmask_ref,
+    out_ref,  # (1, TN, hid) token block for (view v, block i)
+    *, H: int, W: int, freqs: tuple,
+):
+    """Phase 1 of the stretch path: bilinear hat-gather + on-chip geometric
+    embedding for ONE (token block, view) pair. The grid runs views OUTER so
+    each view's map is fetched into VMEM once and stays resident across all
+    token blocks; the (N, V, hid) token tensor round-trips HBM once in bf16
+    (the XLA fallback materialises several same-sized intermediates)."""
+    TN = xy_ref.shape[1]
+    f32 = jnp.float32
+    dt = maps_ref.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (TN, H * W), 1)
+    xy = xy_ref[0].astype(f32)
+    x = jnp.clip((xy[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)[:, None]
+    y = jnp.clip((xy[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)[:, None]
+    Wm = jnp.maximum(0.0, 1.0 - jnp.abs(x - (col % W).astype(f32))) * jnp.maximum(
+        0.0, 1.0 - jnp.abs(y - (col // W).astype(f32))
+    )
+    tok = jnp.dot(Wm.astype(dt), maps_ref[0], preferred_element_type=f32)
+    aug = _geo_aug_t(ptsT_ref[0], centers_ref[0], freqs)
+    tok = tok + jax.lax.dot_general(
+        aug.astype(dt), kall_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    tok = tok + mask_ref[0].astype(f32) * kmask_ref[...].astype(f32)
+    out_ref[0] = tok.astype(out_ref.dtype)
+
+
+def _dit_kernel(
+    toks_ref,  # (V, TN, hid) gathered tokens (phase-1 output, view-major)
+    bacc_ref,  # (TN, hid)
+    qkv_k_ref, qkv_b_ref, proj_k_ref, proj_b_ref,
+    fc1_k_ref, fc1_b_ref, fc2_k_ref, fc2_b_ref,
+    mods_ref, wl_k_ref, wl_b_ref, fin_k_ref, fin_b_ref,
+    out_ref,  # (TN, out_dim)
+    *, V: int, heads: int, layers: int,
+):
+    """Phase 2 of the stretch path: gelu(tokens + b_acc) -> DiT -> pool.
+
+    The view-major phase-1 layout is re-ordered to (TN, V, hid) with V
+    static leading-dim slices (Mosaic has no general 3-D transpose)."""
+    f32 = jnp.float32
+    x = jnp.stack([toks_ref[v] for v in range(V)], axis=1)  # (TN, V, hid)
+    x = _gelu(x.astype(f32) + bacc_ref[...].astype(f32)[:, None, :])
+    _dit_pool(
+        x, qkv_k_ref, qkv_b_ref, proj_k_ref, proj_b_ref, fc1_k_ref, fc1_b_ref,
+        fc2_k_ref, fc2_b_ref, mods_ref, wl_k_ref, wl_b_ref, fin_k_ref,
+        fin_b_ref, out_ref, V=V, heads=heads, layers=layers, dt=toks_ref.dtype,
+    )
 
 
 def _geo_aug_xla(pts, centers, freqs):
@@ -353,6 +436,12 @@ def _crossview_bwd(heads, block_tokens, interpret, freqs, res, g):
     return vjp(g)
 
 
+# All V projected maps stay VMEM-resident in the single-kernel path up to
+# this many bytes; above it the two-phase (gather per view, then DiT) path
+# keeps only ONE view's map resident and round-trips the token tensor
+_SINGLE_KERNEL_MAPS_BYTES = 6 * 1024 * 1024
+
+
 def _crossview_fwd_impl(
     xy, pts, centers, mask, b_acc, maps_p, kg: GeoWeights, w: AggregatorWeights,
     heads: int, block_tokens: int = 64, interpret: bool = False, freqs: tuple = (),
@@ -368,39 +457,7 @@ def _crossview_fwd_impl(
     dt = maps_p.dtype
 
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    kern = functools.partial(
-        _kernel, V=V, H=H, W=W_, heads=heads, layers=L, freqs=tuple(freqs)
-    )
-    return pl.pallas_call(
-        kern,
-        grid=(N // TN,),
-        in_specs=[
-            pl.BlockSpec((V, TN, 2), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TN), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const(), const(),
-            pl.BlockSpec((TN, hid), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, H * W_, hid), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            const(), const(),
-            const(), const(), const(), const(), const(), const(), const(),
-            const(), const(), const(), const(), const(), const(),
-        ],
-        out_specs=pl.BlockSpec((TN, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, out_dim), dt),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * V * N * (H * W_ + G) * hid + 2 * N * V * L * 8 * hid * hid,
-            bytes_accessed=(xy.size + pts.size + b_acc.size + maps_p.size) * 4,
-            transcendentals=N * V * (L + 1 + 2 * len(freqs)),
-        ),
-        interpret=interpret,
-    )(
-        # xy/pts stay fp32: bilinear coords and geometry need the mantissa
-        xy.astype(jnp.float32),
-        jnp.swapaxes(pts.reshape(N // TN, TN, 3), 1, 2).astype(jnp.float32),
-        centers.reshape(V, 3, 1).astype(jnp.float32),
-        mask.reshape(V, 1, 1).astype(jnp.float32),
-        b_acc.astype(dt),
-        maps_p.reshape(V, H * W_, hid),
-        kg.kall.astype(dt), kg.kmask.reshape(1, hid).astype(jnp.float32),
+    dit_w = (
         w.qkv_k.astype(dt), w.qkv_b.reshape(L, 1, -1).astype(dt),
         w.proj_k.astype(dt), w.proj_b.reshape(L, 1, -1).astype(dt),
         w.fc1_k.astype(dt), w.fc1_b.reshape(L, 1, -1).astype(dt),
@@ -409,6 +466,102 @@ def _crossview_fwd_impl(
         w.wl_k.astype(dt), w.wl_b.reshape(1, 1).astype(dt),
         w.fin_k.astype(dt), w.fin_b.reshape(1, -1).astype(dt),
     )
+    geo_w = (kg.kall.astype(dt), kg.kmask.reshape(1, hid).astype(jnp.float32))
+    itemsize = jnp.dtype(dt).itemsize
+
+    if V * H * W_ * hid * itemsize <= _SINGLE_KERNEL_MAPS_BYTES:
+        kern = functools.partial(
+            _kernel, V=V, H=H, W=W_, heads=heads, layers=L, freqs=tuple(freqs)
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(N // TN,),
+            in_specs=[
+                pl.BlockSpec((V, TN, 2), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, TN), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                const(), const(),
+                pl.BlockSpec((TN, hid), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((V, H * W_, hid), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                const(), const(),
+                const(), const(), const(), const(), const(), const(), const(),
+                const(), const(), const(), const(), const(), const(),
+            ],
+            out_specs=pl.BlockSpec((TN, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, out_dim), dt),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * V * N * (H * W_ + G) * hid + 2 * N * V * L * 8 * hid * hid,
+                bytes_accessed=(xy.size + pts.size + b_acc.size + maps_p.size) * 4,
+                transcendentals=N * V * (L + 1 + 2 * len(freqs)),
+            ),
+            interpret=interpret,
+        )(
+            # xy/pts stay fp32: bilinear coords and geometry need the mantissa
+            xy.astype(jnp.float32),
+            jnp.swapaxes(pts.reshape(N // TN, TN, 3), 1, 2).astype(jnp.float32),
+            centers.reshape(V, 3, 1).astype(jnp.float32),
+            mask.reshape(V, 1, 1).astype(jnp.float32),
+            b_acc.astype(dt),
+            maps_p.reshape(V, H * W_, hid),
+            *geo_w,
+            *dit_w,
+        )
+
+    # ---- two-phase stretch path (maps too big for VMEM together) ---------
+    # Phase 1: grid (V, blocks) — views OUTER, so each view's map is fetched
+    # once and stays resident while every token block gathers from it.
+    TNG = 128
+    while N % TNG:
+        TNG //= 2
+    toks = pl.pallas_call(
+        functools.partial(_gather_kernel, H=H, W=W_, freqs=tuple(freqs)),
+        grid=(V, N // TNG),
+        in_specs=[
+            pl.BlockSpec((1, TNG, 2), lambda v, i: (v, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TNG), lambda v, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 1), lambda v, i: (v, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda v, i: (v, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H * W_, hid), lambda v, i: (v, 0, 0), memory_space=pltpu.VMEM),
+            const(), const(),
+        ],
+        out_specs=pl.BlockSpec((1, TNG, hid), lambda v, i: (v, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((V, N, hid), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * V * N * (H * W_ + G) * hid,
+            bytes_accessed=maps_p.size * itemsize + V * N * hid * itemsize,
+            transcendentals=N * V * 2 * len(freqs),
+        ),
+        interpret=interpret,
+    )(
+        xy.astype(jnp.float32),
+        jnp.swapaxes(pts.reshape(N // TNG, TNG, 3), 1, 2).astype(jnp.float32),
+        centers.reshape(V, 3, 1).astype(jnp.float32),
+        mask.reshape(V, 1, 1).astype(jnp.float32),
+        maps_p.reshape(V, H * W_, hid),
+        *geo_w,
+    )
+    # Phase 2: DiT + pool over token blocks; weights resident, tokens read
+    # back once (bf16 — the XLA fallback accumulates these in bf16 too).
+    TND = 128
+    while N % TND:
+        TND //= 2
+    return pl.pallas_call(
+        functools.partial(_dit_kernel, V=V, heads=heads, layers=L),
+        grid=(N // TND,),
+        in_specs=[
+            pl.BlockSpec((V, TND, hid), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TND, hid), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const(), const(), const(), const(), const(), const(), const(),
+            const(), const(), const(), const(), const(), const(),
+        ],
+        out_specs=pl.BlockSpec((TND, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, out_dim), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * V * L * 8 * hid * hid,
+            bytes_accessed=V * N * hid * itemsize + b_acc.size * itemsize,
+            transcendentals=N * V * (L + 1),
+        ),
+        interpret=interpret,
+    )(toks, b_acc.astype(dt), *dit_w)
 
 
 crossview_aggregate.defvjp(_crossview_fwd, _crossview_bwd)
@@ -423,5 +576,7 @@ def should_fuse_crossview(V: int, H: int, W: int, hid: int, top_k: bool) -> bool
         return False
     if top_k:
         return False
-    # the V projected maps must fit VMEM next to the DiT weights
-    return V <= 16 and H * W <= 2048 and hid <= 512
+    # single-kernel: all V maps resident; two-phase (H*W up to 8192): one
+    # view's map resident per gather sweep + a bf16 token round-trip. Beyond
+    # that a single view's map outgrows VMEM next to the hat-weight tile.
+    return V <= 16 and H * W <= 8192 and hid <= 512

@@ -72,16 +72,28 @@ def ddim_sample(
         linear_start=cfg.linear_start, linear_end=cfg.linear_end,
     )
 
-    rng, init_rng = jax.random.split(rng)
+    rng, init_rng, z_rng, jit_rng = jax.random.split(rng, 4)
     x = jax.random.normal(init_rng, (B, H, W, C)) if init_noise is None else init_noise
     prev_depth0 = jnp.zeros((B, H, W, 1))
 
-    def step(carry, i):
-        x, prev_depth, rng = carry
+    # All stochastic draws for the trajectory are generated in ONE fused RNG
+    # op each, before the scan — 50 small in-scan threefry expansions cost
+    # ~3 ms/step of launch/fusion-boundary overhead (round-1 step trace);
+    # one (S, B, H, W, C) draw is bandwidth-trivial (<10 MB) and free inside
+    # the loop. Explicit step_noise/jitter_noise still override for parity
+    # harnesses (shared-noise trajectories).
+    if step_noise is None:
+        step_noise = jax.random.normal(z_rng, (num_steps, B, H, W, C))
+    if jitter_noise is None:
+        D = cfg.n_pts_per_ray
+        jitter_noise = jax.random.normal(jit_rng, (num_steps, B, H, W, D))
+
+    def step(carry, inputs):
+        i, z, jit_z = inputs
+        x, prev_depth = carry
         index = num_steps - 1 - i
         tstep = ddim.timesteps[index]
         t = jnp.full((B,), tstep, jnp.int32)
-        rng, k_attn, k_noise = jax.random.split(rng, 3)
         if feed_prev_depth:
             # step 0 has no prev_depth yet: use the unbiased estimate
             # x_t[depth]/sqrt(abar_t) — exactly GridAttn's None branch
@@ -98,17 +110,18 @@ def ddim_sample(
             input_cameras,
             clip_v_embed,
             t,
-            k_attn,
+            rng,  # unused: jitter noise is always supplied explicitly
             cfg_scale,
             prev_depth=attn_depth,
-            attn_jitter_noise=None if jitter_noise is None else jitter_noise[i],
+            attn_jitter_noise=jit_z,
             method=ViewFusion.apply_model_cfg,
         )
-        z = jax.random.normal(k_noise, x.shape) if step_noise is None else step_noise[i]
         x_prev, pred_x0 = ddim_step(ddim, x, noise_pred, index, z)
         new_depth = pred_x0[..., 4:5]
         out = pred_x0 if return_trajectory else jnp.zeros((), x.dtype)
-        return (x_prev, new_depth, rng), out
+        return (x_prev, new_depth), out
 
-    (x, _, _), traj = jax.lax.scan(step, (x, prev_depth0, rng), jnp.arange(num_steps))
+    (x, _), traj = jax.lax.scan(
+        step, (x, prev_depth0), (jnp.arange(num_steps), step_noise, jitter_noise)
+    )
     return SampleResult(latents=x, pred_x0_trajectory=traj)

@@ -56,6 +56,33 @@ def test_crossview_kernel_matches_xla_path(rng, V, H, D):
     assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()
 
 
+@pytest.mark.parametrize("V,H,D", [(3, 8, 1), (4, 8, 3)])
+def test_crossview_two_phase_matches_xla_path(rng, monkeypatch, V, H, D):
+    """The stretch path (gather kernel + DiT kernel, token round-trip) must
+    match the XLA path too; forced by shrinking the maps-resident budget so
+    even the tiny test shape takes the two-phase branch."""
+    from mvdfusion_tpu.ops import crossview as cv
+
+    monkeypatch.setattr(cv, "_SINGLE_KERNEL_MAPS_BYTES", 0)
+    hidden, heads, layers, out_dim = 32, 4, 2, 48
+    kw = dict(
+        input_size=H, in_channels=5, hidden_size=hidden, output_dim=out_dim,
+        num_heads=heads, num_layers=layers, n_pts_per_ray=D,
+    )
+    xla_mod = GridAttn(crossview_kernel="never", **kw)
+    ker_mod = GridAttn(crossview_kernel="interpret", **kw)
+    i = _inputs(rng, V, H, D, hidden)
+    args = (
+        i["noisy"], i["cams"], i["mask"], i["t_embed"], i["t"], i["sched"],
+        i["in_lat"], i["in_cams"], jax.random.PRNGKey(1),
+    )
+    params = xla_mod.init(jax.random.PRNGKey(0), *args, jitter_noise=i["jitter"])
+    ref = np.asarray(xla_mod.apply(params, *args, jitter_noise=i["jitter"]))
+    out = np.asarray(ker_mod.apply(params, *args, jitter_noise=i["jitter"]))
+    assert out.shape == ref.shape == (V, H, H, D, out_dim)
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
 def test_crossview_kernel_grads_match_xla(rng):
     """The custom VJP (rematerialized XLA twin) must produce the same
     gradients as differentiating the XLA path directly."""
