@@ -61,6 +61,14 @@ from mvdfusion_tpu.ops.crossview import _gelu
 
 _LN_EPS = 1e-5
 _FF_CHUNK = 256
+# softmax strategy (A/B'd on-chip with tools/block_tune.py):
+#   v1: scale -> max-shift -> exp -> divide -> cast -> PV
+#   v2: max-shift and scale fused into the exp chain, normalization applied
+#       AFTER PV to the (dh, N) output instead of the (N, N) probability
+#       tile — removes an N^2 fp32 divide per head, exact same math
+import os as _os
+
+_SOFTMAX_V2 = _os.environ.get("MVDF_BLOCK_SOFTMAX", "v2") == "v2"
 # single-kernel weight-residency budget; above it the site splits into an
 # attention kernel + an FF kernel (tests monkeypatch this to force the split)
 _SINGLE_KERNEL_WEIGHT_BYTES = 8 * 1024 * 1024
@@ -153,16 +161,33 @@ def _attn_part(x_in, a2, gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref, ln1_g_ref,
         qT = qkv[h * dh : (h + 1) * dh]  # sublane slices (dh % 8 == 0)
         kT = qkv[C + h * dh : C + (h + 1) * dh]
         vT = qkv[2 * C + h * dh : 2 * C + (h + 1) * dh]
-        logits = (
-            jax.lax.dot_general(qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-            * scale
-        )  # (Nq, Nk) fp32
+        logits = jax.lax.dot_general(
+            qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )  # (Nq, Nk) fp32, unscaled
         m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
-        rows.append(
-            jax.lax.dot_general(vT, p, (((1,), (1,)), ((), ())), preferred_element_type=f32).astype(dt)
-        )  # (dh, Nq)
+        if _SOFTMAX_V2:
+            # softmax(l*s) == exp((l - max(l)) * s) / sum(...): the shift and
+            # temperature ride one fused VPU pass; normalization is applied
+            # AFTER PV to the (dh, N) output (identical math, N x fewer
+            # divides). The denominator comes from a ones-row MXU dot so it
+            # lands in lanes (q-indexed) without a sublane->lane relayout.
+            p = jnp.exp((logits - m) * scale).astype(dt)
+            s = jax.lax.dot_general(
+                jnp.ones((1, p.shape[1]), dt), p, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (1, Nq) fp32
+            pv = jax.lax.dot_general(
+                vT, p, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )  # (dh, Nq) fp32
+            rows.append((pv * jax.lax.reciprocal(s)).astype(dt))
+        else:
+            p = jnp.exp((logits - m) * scale)
+            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
+            rows.append(
+                jax.lax.dot_general(
+                    vT, p, (((1,), (1,)), ((), ())), preferred_element_type=f32
+                ).astype(dt)
+            )  # (dh, Nq)
     attn = jnp.concatenate(rows, axis=0)  # (C, N)
     h1 = h0 + _mm(out_k_ref, attn, out_b_ref)
     # attn2: precomputed contribution (see module docstring)

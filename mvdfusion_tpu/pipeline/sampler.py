@@ -53,13 +53,21 @@ def ddim_sample(
     init_noise: Optional[jnp.ndarray] = None,  # (B, H, W, C)
     step_noise: Optional[jnp.ndarray] = None,  # (S, B, H, W, C) DDIM z draws
     jitter_noise: Optional[jnp.ndarray] = None,  # (S, B, H, W, D) GridAttn jitter
+    x_clip: Optional[jnp.ndarray] = None,  # scalar latent bound (stability rail)
 ) -> SampleResult:
     """Generate B views of 5-channel (RGB-D) latents.
 
     The three *_noise arguments override the internal PRNG draws (the
     reference's torch.randn at sampler.py:104, torch.randn at sampler.py:64
     and torch.normal at view_attn_efficient2.py:431) so parity harnesses can
-    drive both implementations from one shared noise stream."""
+    drive both implementations from one shared noise stream.
+
+    `x_clip` (default None = exact reference semantics; the reference sampler
+    has no clipping, mvdfusion/sampler.py:43-66) clamps the latent carry to
+    [-x_clip, x_clip] after every DDIM update. With a generous bound it is
+    the identity on healthy trajectories and only arrests the exponential
+    blow-up a short-trained from-scratch model can hit late in the eta=1.0
+    stochastic trajectory (used by tools/overfit_synthetic.py)."""
     cfg = model.cfg
     B = clip_v_embed.shape[0]
     H = W = cfg.latent_size
@@ -117,6 +125,8 @@ def ddim_sample(
             method=ViewFusion.apply_model_cfg,
         )
         x_prev, pred_x0 = ddim_step(ddim, x, noise_pred, index, z)
+        if x_clip is not None:
+            x_prev = jnp.clip(x_prev, -x_clip, x_clip)
         new_depth = pred_x0[..., 4:5]
         out = pred_x0 if return_trajectory else jnp.zeros((), x.dtype)
         return (x_prev, new_depth), out

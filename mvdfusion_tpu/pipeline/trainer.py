@@ -42,6 +42,12 @@ class TrainConfig:
     finetune_cross_attn: bool = True
     finetune_view_attn: bool = True
     weight_decay: float = 0.01  # torch AdamW default
+    # Training-hygiene rails, both OFF by default (the reference trainer has
+    # neither, train.py:27-214): global-norm gradient clipping, and skipping
+    # parameter updates on non-finite gradients (optax.apply_if_finite) so a
+    # single bad step cannot poison the weights.
+    grad_clip: float = 0.0
+    skip_nonfinite: bool = False
 
 
 class TrainState(NamedTuple):
@@ -93,7 +99,18 @@ def trainable_mask(params, tc: TrainConfig):
 def make_optimizer(params, tc: TrainConfig) -> optax.GradientTransformation:
     mask = trainable_mask(params, tc)
     opt = optax.adamw(tc.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tc.weight_decay)
-    opt = optax.masked(opt, mask)
+    if tc.grad_clip:
+        opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip), opt)
+    # optax.masked passes UNMASKED gradients through as raw updates — today
+    # the frozen towers' grads are exactly zero (the stop_gradient in
+    # p_losses, nn/viewfusion.py:435), but freezing must not depend on that:
+    # explicitly zero the frozen subtree's updates.
+    inv_mask = jax.tree_util.tree_map(lambda m: not m, mask)
+    opt = optax.chain(
+        optax.masked(opt, mask), optax.masked(optax.set_to_zero(), inv_mask)
+    )
+    if tc.skip_nonfinite:
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=100)
     if tc.grad_accum_step > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=tc.grad_accum_step)
     return opt

@@ -61,6 +61,41 @@ def test_trainable_mask_matches_reference_policy():
     assert not flat2["params/vae/encoder/conv_in/kernel"]
 
 
+def test_training_rails_clip_and_skip_nonfinite():
+    """grad_clip bounds the trainable-set update; skip_nonfinite makes a NaN
+    step a no-op instead of poisoning the params (overfit run, step ~7700)."""
+    import optax
+
+    from mvdfusion_tpu.pipeline.trainer import make_optimizer
+
+    params = {
+        "params": {
+            "view_attn": {"w": jnp.ones((4, 4))},
+            "vae": {"w": jnp.ones((4, 4))},
+        }
+    }
+    tc = TrainConfig(lr=1e-2, grad_clip=1.0, skip_nonfinite=True)
+    opt = make_optimizer(params, tc)
+    st = opt.init(params)
+
+    # a NaN gradient step must leave the params bit-identical
+    bad = jax.tree_util.tree_map(lambda p: jnp.full_like(p, jnp.nan), params)
+    up, st = opt.update(bad, st, params)
+    p1 = optax.apply_updates(params, up)
+    assert np.array_equal(
+        np.asarray(p1["params"]["view_attn"]["w"]), np.ones((4, 4))
+    )
+
+    # a huge finite gradient must apply, but clipped (finite, bounded update)
+    big = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 1e6), params)
+    up, st = opt.update(big, st, p1)
+    p2 = optax.apply_updates(p1, up)
+    dw = np.asarray(p2["params"]["view_attn"]["w"]) - 1.0
+    assert np.all(np.isfinite(dw)) and np.all(np.abs(dw) < 0.1)
+    # frozen subtree never moves
+    assert np.array_equal(np.asarray(p2["params"]["vae"]["w"]), np.ones((4, 4)))
+
+
 def test_param_shardings_valid():
     params = _abstract_params()
     mesh = make_mesh(dp=4, tp=2)

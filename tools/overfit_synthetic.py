@@ -152,12 +152,36 @@ def pretrain_vae(model, params, batch, args: OverfitArgs):
 def train_diffusion(model, params, batch, args: OverfitArgs):
     import jax
     import jax.numpy as jnp
+    import optax
 
     from mvdfusion_tpu.pipeline.trainer import TrainConfig, init_train_state, make_train_step
 
-    tc = TrainConfig(lr=args.lr, finetune_unet=True)
+    # cosine decay to ~10% of peak over the run: late-training weight
+    # oscillation at a flat 3e-4 is what pushed 3/16 eval trajectories to
+    # diverge in the first full run (loss was fine, sampling feedback wasn't)
+    lr = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.1)
+    # rails: clip + skip-nonfinite — the 8000-step run hit a single NaN step
+    # near the end that poisoned params AND the EMA; a skipped step costs
+    # nothing, a poisoned run costs everything
+    tc = TrainConfig(lr=lr, finetune_unet=True, grad_clip=1.0, skip_nonfinite=True)
     state = init_train_state(params, tc)
     train_step = jax.jit(make_train_step(model, tc), donate_argnums=(0,))
+
+    # EMA of the params for eval, with the standard warmup decay
+    # min(0.999, (1+t)/(10+t)) so short smoke runs track the live params
+    # instead of the random init. The reference trains from a pretrained
+    # init and doesn't need one; a from-scratch overfit samples far more
+    # stably from the average.
+    def _ema_update(e, p, t):
+        d = jnp.minimum(0.999, (1.0 + t) / (10.0 + t))
+        return jax.tree_util.tree_map(
+            lambda a, b: a * d + b.astype(a.dtype) * (1.0 - d), e, p
+        )
+
+    ema_update = jax.jit(_ema_update)
+    # fresh buffers: train_step donates `state`, which would invalidate an
+    # ema that merely aliases state.params
+    ema = jax.tree_util.tree_map(jnp.copy, state.params)
 
     train_views = np.asarray(
         [v for v in range(16) if v not in HELDOUT_VIEWS], np.int32
@@ -182,11 +206,15 @@ def train_diffusion(model, params, batch, args: OverfitArgs):
         )
         key, k = jax.random.split(key)
         state, loss = train_step(state, sbatch, k)
+        ema = ema_update(ema, state.params, float(i))
         losses.append(float(loss))
         if i % args.log_every == 0 or i == args.steps - 1:
             w = np.mean(losses[-50:])
             _log(f"[diff {i}/{args.steps}] loss {losses[-1]:.4f} (avg50 {w:.4f}) ({time.time()-t0:.0f}s)")
-    return state.params, np.asarray(losses)
+        if i and i % 2000 == 0:
+            os.makedirs(args.out, exist_ok=True)
+            save_params(ema, os.path.join(args.out, "trained_params.npz"))
+    return ema, np.asarray(losses)
 
 
 # -------------------------------------------------------------- stage 3: eval
@@ -223,10 +251,14 @@ def evaluate(model, params, ds, batch, args: OverfitArgs, eval_views=None, tag="
             jnp.asarray(batch["f"][s]), jnp.asarray(batch["c"][s]),
             jnp.asarray([EVAL_INPUT_VIEW]), jnp.asarray(eval_views), d,
         )
+        # stability rail: generous bound from the encoded-input scale — the
+        # identity for healthy trajectories, arrests from-scratch blow-ups
+        bound = 6.0 * jnp.maximum(1.0, jnp.max(jnp.abs(in_lat)))
         res = ddim_sample(
             params, model, cams, in_lat, in_cams, clip_v,
             jax.random.PRNGKey(1000 + s), jnp.asarray(1.0),
             num_steps=args.eval_ddim_steps,
+            x_clip=bound,
         )
         rgb = np.asarray(decode(params, res.latents[..., :4]))
         gt = batch["images"][s][eval_views]
@@ -243,6 +275,27 @@ def evaluate(model, params, ds, batch, args: OverfitArgs, eval_views=None, tag="
         )
         _log(f"[{tag} scene {s}] psnr {['%.1f' % p for p in scene_psnr]} depth_mae {results[-1]['depth_mae']:.4f}")
     return eval_views, results
+
+
+def save_params(params, path: str) -> None:
+    import jax
+
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    np.savez_compressed(path, **flat)
+    _log(f"[ckpt] saved {len(flat)} arrays -> {path}")
+
+
+def load_params(template, path: str):
+    import jax
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    out = [jnp.asarray(data["/".join(str(getattr(k, "key", k)) for k in p)]) for p, _ in leaves]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def save_artifacts(eval_views, results, losses, out_dir: str, tag: str):
@@ -276,13 +329,23 @@ def save_artifacts(eval_views, results, losses, out_dir: str, tag: str):
         np.save(os.path.join(out_dir, "loss_curve.npy"), losses)
 
 
-def run(args: OverfitArgs) -> dict:
+def run(args: OverfitArgs, eval_only: bool = False) -> dict:
     import jax
 
     _log(f"[overfit] devices: {jax.devices()}")
     ds, batch = build_dataset(args)
     model, cfg = build_model(args)
     params = init_params(model, batch, args.seed)
+
+    ckpt = os.path.join(args.out, "trained_params.npz")
+    if eval_only:
+        # diagnose sampling without retraining: reuse the saved EMA params
+        params = load_params(params, ckpt)
+        eval_views, trained = evaluate(model, params, ds, batch, args, tag="trained")
+        save_artifacts(eval_views, trained, None, args.out, "trained")
+        psnr = float(np.nanmean([p for r in trained for p in r["psnr"]]))
+        _log(f"[eval-only] trained psnr {psnr:.2f}")
+        return dict(trained_psnr=psnr)
 
     params, vae_psnr = pretrain_vae(model, params, batch, args)
 
@@ -292,6 +355,8 @@ def run(args: OverfitArgs) -> dict:
     floor_dmae = float(np.mean([r["depth_mae"] for r in floor]))
 
     params, losses = train_diffusion(model, params, batch, args)
+    os.makedirs(args.out, exist_ok=True)
+    save_params(params, ckpt)
 
     eval_views, trained = evaluate(model, params, ds, batch, args, tag="trained")
     trained_psnr = float(np.mean([p for r in trained for p in r["psnr"]]))
@@ -335,6 +400,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="artifacts/overfit")
     ap.add_argument("--quick", action="store_true", help="CPU smoke sizes")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate the saved trained_params.npz")
     a = ap.parse_args()
     args = OverfitArgs(
         scenes=a.scenes, vae_steps=a.vae_steps, steps=a.steps,
@@ -344,7 +411,7 @@ def main():
         args = dataclasses.replace(
             args, scenes=2, vae_steps=60, steps=150, eval_ddim_steps=8, log_every=20
         )
-    run(args)
+    run(args, eval_only=a.eval_only)
 
 
 if __name__ == "__main__":
