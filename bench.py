@@ -116,6 +116,13 @@ def main() -> None:
 
     def bench_workload(cfg, n_views, img, steps, tag, scenes=1):
         model, params, cams, in_lat, in_cams, clip_v = build(cfg, n_views, img, tag)
+        # one-time host-side bf16 weight cast (exactly the bf16 compute
+        # path's numerics — flax casts these same weights at every use; the
+        # per-step trace shows XLA does NOT hoist all the f32 weight
+        # converts/copies out of the scan). utils/common.py.
+        from mvdfusion_tpu.utils.common import cast_inference_params
+
+        params = cast_inference_params(params)
         decode = jax.jit(lambda p, z: model.apply(p, z, method=ViewFusion.decode_latents))
 
         @jax.jit

@@ -65,13 +65,24 @@ _FF_CHUNK = 256
 #   v1: scale -> max-shift -> exp -> divide -> cast -> PV
 #   v2: max-shift and scale fused into the exp chain, normalization applied
 #       AFTER PV to the (dh, N) output instead of the (N, N) probability
-#       tile — removes an N^2 fp32 divide per head, exact same math
+#       tile — removes an N^2 fp32 divide per head, exact same math.
+# Measured on v5e (2 runs x 50 chained iters): no reliable difference —
+# site time swings +-25% run-to-run and v2's sign flips with it, i.e. the
+# softmax tail is not where these kernels' time goes. v1 stays the default.
 import os as _os
 
-_SOFTMAX_V2 = _os.environ.get("MVDF_BLOCK_SOFTMAX", "v2") == "v2"
+_SOFTMAX_V2 = _os.environ.get("MVDF_BLOCK_SOFTMAX", "v1") == "v2"
 # single-kernel weight-residency budget; above it the site splits into an
-# attention kernel + an FF kernel (tests monkeypatch this to force the split)
-_SINGLE_KERNEL_WEIGHT_BYTES = 8 * 1024 * 1024
+# attention kernel + an FF kernel. Default 0 = ALWAYS split: benched on v5e
+# (full 50-step flagship run, the only stable timing on this box), the
+# split form is ~1 ms/step faster even at 32^2 where the single kernel's
+# weights fit VMEM — the smaller kernels' lower VMEM/register pressure
+# beats saving the h2 HBM round-trip (~26 us of bandwidth at 32^2):
+# 4.505 vs 4.386 views/s. MVDF_BLOCK_SINGLE=1 restores the old gate for
+# A/B; tests monkeypatch the budget to exercise both forms.
+_SINGLE_KERNEL_WEIGHT_BYTES = (
+    8 * 1024 * 1024 if _os.environ.get("MVDF_BLOCK_SINGLE") else 0
+)
 
 
 class BlockWeights(NamedTuple):

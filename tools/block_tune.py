@@ -52,17 +52,18 @@ def make_weights(C: int, heads: int, key) -> "BlockWeights":
     )
 
 
-def time_fn(fn, *args, iters: int = 30) -> float:
-    # axon: chain a data dependency and materialise a scalar per call
-    out = fn(*args)
-    float(jnp.sum(out))  # warm
+def time_fn(fn, x, *args, iters: int = 30) -> float:
+    # axon's per-materialisation RTT (~50 ms) swamps ms-scale kernels:
+    # chain `iters` calls through a data dependency (out feeds the next
+    # call's input) and materialise ONE scalar at the end.
+    out = fn(x, *args)
+    float(jnp.sum(out))  # warm/compile
     t0 = time.perf_counter()
-    acc = 0.0
+    y = x
     for _ in range(iters):
-        out = fn(*args)
-        acc += float(out[0, 0, 0])
-    dt = (time.perf_counter() - t0) / iters
-    return dt
+        y = fn(y, *args)
+    float(jnp.sum(y))
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
