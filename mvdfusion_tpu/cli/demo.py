@@ -99,6 +99,15 @@ def main(argv=None):
     else:
         print("[demo] no checkpoint found — running with random weights")
 
+    # one-time bf16 tower-weight cast (inference.bf16_weights, default on:
+    # identical numerics to the bf16 compute path that would cast these
+    # weights at every use, and it keeps XLA's scan from re-converting f32
+    # weights each DDIM step — see bench.py / utils.common)
+    if inference.get("bf16_weights", True) and jax.default_backend() == "tpu":
+        from mvdfusion_tpu.utils.common import cast_inference_params
+
+        params = cast_inference_params(params)
+
     save_dir = os.path.join(saver.get("exp_dir", "demo/"), inference.get("vis_dir", "vis/"))
     os.makedirs(save_dir, exist_ok=True)
 

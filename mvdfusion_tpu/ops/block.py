@@ -251,13 +251,11 @@ def _attn_kernel(
 def _ff_kernel(
     h2_ref, xin_ref,
     ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref, f_k_ref, f_b_ref, po_k_ref, po_b_ref,
-    o_ref,
+    o_ref, *, chunk: int,
 ):
-    # chunk=128: the split form runs at C=640, where the GEGLU weights alone
-    # hold ~10.7 MB of VMEM — the (2*inner, chunk) intermediate must be small
     _ff_part(
         h2_ref[0], xin_ref, ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref,
-        f_k_ref, f_b_ref, po_k_ref, po_b_ref, o_ref, chunk=128,
+        f_k_ref, f_b_ref, po_k_ref, po_b_ref, o_ref, chunk=chunk,
     )
 
 
@@ -371,8 +369,15 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
             cost_estimate=cost,
             interpret=interpret,
         )(xinT, a2T, *attn_w)
+        # token-chunk size for the GEGLU intermediate: benched on v5e, wider
+        # chunks give the MXU full-width dots instead of N=128 slivers
+        # (+1.3 ms/step at 32^2 going 128 -> 512). Budget: GEGLU weights
+        # (C=640: ~10.7 MB) + (2*inner, chunk) bf16 intermediate + io tiles
+        # must stay under the ~16 MB VMEM scope — C=640 fits chunk 256
+        # (~14.5 MB), C<=384 fits 512 comfortably.
+        ffc = min(N, 512 if C <= 384 else 256)
         outT = pl.pallas_call(
-            _ff_kernel,
+            functools.partial(_ff_kernel, chunk=ffc),
             grid=(B,),
             in_specs=[io_spec, io_spec] + [const()] * 8,
             out_specs=io_spec,

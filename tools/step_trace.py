@@ -160,6 +160,10 @@ def run_and_trace(outdir: str, steps: int):
     )
     jax.block_until_ready(params)
     print(f"init {time.time()-t0:.1f}s", flush=True)
+    # profile the same program bench.py times: bf16 tower weights
+    from mvdfusion_tpu.utils.common import cast_inference_params
+
+    params = cast_inference_params(params)
     prep = jax.jit(lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch))
     _, cams, in_lat, in_cams, clip_v = prep(params, images, R, T, f, c, ii, ti)
 
