@@ -166,10 +166,15 @@ def main(argv=None):
     loss_interval = int(saver.get("loss_interval", print_interval))
     loss_dir = os.path.join(saver.get("exp_dir", "runs/"), saver.get("loss_dir", "loss/"))
 
+    regression = bool(saver.get("regression", False))
+
     def visualize(params, batch, step):
         """Periodic training-time DDIM sample grid (reference train.py:116-117
         + utils/vis_utils.py:21-93): full sample at cfg 1.0 on the first
-        scene of the current batch, rows [noise|pred|gt|pred_d|gt_d]."""
+        scene of the current batch, rows [noise|pred|gt|pred_d|gt_d].
+        saver.regression=true replaces the full DDIM sample with the
+        reference's cheap 1-step preview (vis_utils.py:29-36: apply_model on
+        the clean latents at t=999, then predict_start_from_noise)."""
         from mvdfusion_tpu.pipeline.sampler import ddim_sample
         from mvdfusion_tpu.utils.vis import save_train_vis_grid
 
@@ -178,10 +183,35 @@ def main(argv=None):
             lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch)
         )(params, one["images"], one["R"], one["T"], one["f"], one["c"],
           one["input_idx"], one["target_idx"])
-        res = ddim_sample(
-            params, model, cams, in_lat, in_cams, clip_v,
-            jax.random.PRNGKey(step), jnp.asarray(1.0), num_steps=vis_ddim_steps,
-        )
+        if regression:
+            from mvdfusion_tpu.core.schedule import (
+                make_ddpm_schedule, predict_start_from_noise,
+            )
+
+            sched = make_ddpm_schedule(
+                mcfg.timesteps, mcfg.linear_start, mcfg.linear_end
+            )
+
+            @jax.jit
+            def one_step_preview(p, lat, clip_v):
+                t = jnp.full((lat.shape[0],), mcfg.timesteps - 1, jnp.int32)
+                eps = model.apply(
+                    p, lat, cams, in_lat, in_cams, clip_v, t,
+                    jax.random.PRNGKey(step), method=ViewFusion.apply_model,
+                )
+                return predict_start_from_noise(sched, lat, eps, t)
+
+            from mvdfusion_tpu.pipeline.sampler import SampleResult
+
+            res = SampleResult(
+                latents=one_step_preview(params, lat, clip_v),
+                pred_x0_trajectory=jnp.zeros(()),
+            )
+        else:
+            res = ddim_sample(
+                params, model, cams, in_lat, in_cams, clip_v,
+                jax.random.PRNGKey(step), jnp.asarray(1.0), num_steps=vis_ddim_steps,
+            )
         decode = jax.jit(lambda p, z: model.apply(p, z, method=ViewFusion.decode_latents))
         noise = jax.random.normal(jax.random.PRNGKey(step + 1), lat[..., :4].shape)
         # overwrite_x_noisy semantics (vis_utils.py:49-51): slot 0 shows gt

@@ -179,6 +179,10 @@ class Objaverse:
     Layout: {root}/subset_list/{subset}_{stage}.json; scenes under
     {root}/{subset}/{uid}/views/ with 64 renders {i:03d}_rgb.jpg
     (+_depth.png, _mask.jpg). fix_elevation picks the 16-view 30deg ring.
+
+    `sample_batch_size` (swallowed by **_) is dead on the reference's live
+    path: objaverse.py:94-105 only reads it when fix_elevation is false, and
+    every shipped config sets fix_elevation true (mvd_train.yaml:82-83).
     """
 
     def __init__(

@@ -31,7 +31,7 @@ def fake_gso(tmp_path_factory):
     return str(root)
 
 
-def _write_config(tmp_path, gso_root, exp_dir):
+def _write_config(tmp_path, gso_root, exp_dir, saver_extra=""):
     cfg = f"""
 model:
   base_learning_rate: 1.0e-04
@@ -47,7 +47,7 @@ dataset:
   params: {{root: '{gso_root}', subset: test, image_size: 64}}
 trainer: {{epochs: 4, lr: 0.0001, train_batch_size: 3, random_views: true, grad_accum_step: 2}}
 inference: {{train_batch_size: 3, cfg_scale: 2.5, eval_num: 1, num_ddim_steps: 2, vis_dir: vis/}}
-saver: {{exp_dir: '{exp_dir}', print_interval: 1, save_interval: 1, vis_interval: 2, vis_ddim_steps: 1}}
+saver: {{exp_dir: '{exp_dir}', print_interval: 1, save_interval: 1, vis_interval: 2, vis_ddim_steps: 1{saver_extra}}}
 """
     p = tmp_path / "cfg.yaml"
     p.write_text(cfg)
@@ -80,3 +80,15 @@ def test_train_cli_steps_and_resume(fake_gso, tmp_path):
     assert any(f.endswith(".jpg") for f in vis_files), vis_files
     # resume picks up the checkpoint
     main(["-c", cfgp, "--tiny", "--max-steps", "1", "--dp", "2", "--tp", "1"])
+
+
+def test_train_cli_regression_vis(fake_gso, tmp_path):
+    """saver.regression=true uses the reference's 1-step preview
+    (utils/vis_utils.py:29-36) instead of a full DDIM sample."""
+    from mvdfusion_tpu.cli.train import main
+
+    exp = str(tmp_path / "train_reg_out") + "/"
+    cfgp = _write_config(tmp_path, fake_gso, exp, saver_extra=", regression: true")
+    main(["-c", cfgp, "--tiny", "--max-steps", "2", "--dp", "1", "--tp", "1"])
+    vis_files = os.listdir(os.path.join(exp, "vis"))
+    assert any(f.endswith(".jpg") for f in vis_files), vis_files

@@ -34,7 +34,7 @@ def load_hlo_index(outdir: str):
         return {}
     idx = {}
     pat = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\S+)\s+([\w\-]+)\(")
-    mpat = re.compile(r'op_name="[^"]*?apply_model_cfg/([^"]+)"')
+    mpat = re.compile(r'op_name="[^"]*?(?:apply_model_cfg|decode_latents)/([^"]+)"')
     with open(path) as f:
         for line in f:
             m = pat.match(line)
@@ -133,7 +133,7 @@ def parse_trace(outdir: str, top: int = 40):
         )
 
 
-def run_and_trace(outdir: str, steps: int):
+def run_and_trace(outdir: str, steps: int, target: str = "step"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -169,17 +169,29 @@ def run_and_trace(outdir: str, steps: int):
 
     B = clip_v.shape[0]
     ls = cfg.latent_size
-    x = jnp.zeros((B, ls, ls, 5))
-    t = jnp.full((B,), 500, jnp.int32)
 
-    @jax.jit
-    def one_step(p, x, carry):
-        x = x + carry * 0
-        out = model.apply(
-            p, x, cams, in_lat, in_cams, clip_v, t, jax.random.PRNGKey(0),
-            jnp.asarray(2.5), method=ViewFusion.apply_model_cfg,
-        )
-        return jnp.sum(out.astype(jnp.float32))
+    if target == "decode":
+        z = jnp.zeros((B, ls, ls, 4))
+
+        @jax.jit
+        def one_step(p, z, carry):
+            z = z + carry * 0
+            out = model.apply(p, z, method=ViewFusion.decode_latents)
+            return jnp.sum(out.astype(jnp.float32))
+
+        x = z
+    else:
+        x = jnp.zeros((B, ls, ls, 5))
+        t = jnp.full((B,), 500, jnp.int32)
+
+        @jax.jit
+        def one_step(p, x, carry):
+            x = x + carry * 0
+            out = model.apply(
+                p, x, cams, in_lat, in_cams, clip_v, t, jax.random.PRNGKey(0),
+                jnp.asarray(2.5), method=ViewFusion.apply_model_cfg,
+            )
+            return jnp.sum(out.astype(jnp.float32))
 
     c0 = one_step(params, x, jnp.zeros((), jnp.float32))
     _ = float(c0)
@@ -214,11 +226,15 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--parse-only", default=None)
+    ap.add_argument(
+        "--target", default="step", choices=("step", "decode"),
+        help="step = one CFG denoising step (default); decode = VAE decode of the 8 views",
+    )
     args = ap.parse_args()
     if args.parse_only:
         parse_trace(args.parse_only, args.top)
         return
-    run_and_trace(args.outdir, args.steps)
+    run_and_trace(args.outdir, args.steps, args.target)
     parse_trace(args.outdir, args.top)
 
 
