@@ -36,6 +36,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _MAX_SLICE_ELEMS = 1 << 20
+# row-tile element budget for the TILED path (big maps, e.g. the VAE decoder
+# at 64^2..256^2): each (T, C) x-tile plus its fp32 temporaries must fit VMEM
+# alongside the double-buffered next tile
+_TILE_ELEMS = 1 << 19
+
+
+def _pick_tile(N: int, C: int):
+    """Largest row-tile T dividing N with T*C <= _TILE_ELEMS (halving from N
+    covers the power-of-two map sizes these towers use)."""
+    t = N
+    while t * C > _TILE_ELEMS and t % 2 == 0:
+        t //= 2
+    return t if (t * C <= _TILE_ELEMS and t % 8 == 0) else None
 
 
 def _gn_kernel(x_ref, g_ref, b_ref, o_ref, *, groups: int, eps: float, act: str):
@@ -60,6 +73,85 @@ def _gn_kernel(x_ref, g_ref, b_ref, o_ref, *, groups: int, eps: float, act: str)
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _gn_stats_kernel(x_ref, o_ref):
+    """Accumulate per-channel fp32 [sum; sum-of-squares] over row tiles."""
+    xs = x_ref[0].astype(jnp.float32)  # (T, C)
+    s1 = jnp.sum(xs, axis=0, keepdims=True)  # (1, C)
+    s2 = jnp.sum(xs * xs, axis=0, keepdims=True)
+    part = jnp.concatenate([s1, s2], axis=0)  # (2, C)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        o_ref[0] = part
+
+    @pl.when(pl.program_id(1) > 0)
+    def _acc():
+        o_ref[0] += part
+
+
+def _gn_apply_kernel(x_ref, a_ref, b_ref, o_ref, *, act: str):
+    """y = x*a + b with the affine pre-folded into per-(batch, channel) rows
+    (a = rstd*scale, b = bias - mu*rstd*scale), optional SiLU."""
+    xs = x_ref[0].astype(jnp.float32)  # (T, C)
+    y = xs * a_ref[0] + b_ref[0]
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _gn_tiled_impl(x, scale, bias, groups, eps, act, tile, interpret):
+    """Two-pass tiled GroupNorm for maps too big for one VMEM-resident slice
+    (the VAE towers at 64^2..256^2: XLA lowers their lane-strided group
+    statistics as strided converts + segmented reduces at a fraction of HBM
+    bandwidth, and they run on every decode). Pass 1 accumulates per-channel
+    fp32 sums over row tiles; the (B, G) moments + folded affine are computed
+    as trivially small XLA ops; pass 2 applies normalize(+SiLU) per tile.
+    HBM traffic: 2 reads + 1 write of x."""
+    B, N, C = x.shape
+    f32 = jnp.float32
+    nt = N // tile
+    stats = pl.pallas_call(
+        _gn_stats_kernel,
+        grid=(B, nt),
+        in_specs=[pl.BlockSpec((1, tile, C), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, C), f32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * B * N * C,
+            bytes_accessed=x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x)
+    cg = C // groups
+    s1 = jnp.sum(stats[:, 0].reshape(B, groups, cg), axis=-1)  # (B, G)
+    s2 = jnp.sum(stats[:, 1].reshape(B, groups, cg), axis=-1)
+    cnt = float(N * cg)
+    mu = s1 / cnt
+    rstd = jax.lax.rsqrt(s2 / cnt - mu * mu + eps)
+    mu_c = jnp.repeat(mu, cg, axis=-1)  # (B, C)
+    rstd_c = jnp.repeat(rstd, cg, axis=-1)
+    a = rstd_c * scale.astype(f32)  # (B, C)
+    b = bias.astype(f32) - mu_c * a
+    return pl.pallas_call(
+        functools.partial(_gn_apply_kernel, act=act),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=7 * B * N * C,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=B * N * C if act == "silu" else 0,
+        ),
+        interpret=interpret,
+    )(x, a.reshape(B, 1, C), b.reshape(B, 1, C))
 
 
 def _xla_gn(x, scale, bias, groups: int, eps: float, act: str):
@@ -112,6 +204,11 @@ def _gn_fwd_impl(
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, N, C = x.shape
+    if N * C > _MAX_SLICE_ELEMS:
+        tile = _pick_tile(N, C)
+        if tile is None:  # direct caller outside the should_fuse_gn gate
+            return _xla_gn(x, scale, bias, groups, eps, act)
+        return _gn_tiled_impl(x, scale, bias, groups, eps, act, tile, interpret)
     kern = functools.partial(_gn_kernel, groups=groups, eps=eps, act=act)
     return pl.pallas_call(
         kern,
@@ -133,7 +230,9 @@ def _gn_fwd_impl(
 
 
 def should_fuse_gn(shape, groups: int) -> bool:
-    """Kernel applicability: TPU, group-divisible C, slice fits VMEM.
+    """Kernel applicability: TPU, group-divisible C, and either the whole
+    (HW, C) slice fits VMEM (single-kernel form) or a row tile divides HW
+    (tiled two-pass form — the VAE towers at 64^2..256^2).
     MVDF_DISABLE_PALLAS=1 forces the XLA path (see ops/attention.should_fuse)."""
     import os
 
@@ -143,4 +242,6 @@ def should_fuse_gn(shape, groups: int) -> bool:
     for d in shape[1:-1]:
         n *= d
     C = shape[-1]
-    return C % groups == 0 and n * C <= _MAX_SLICE_ELEMS
+    if C % groups:
+        return False
+    return n * C <= _MAX_SLICE_ELEMS or _pick_tile(n, C) is not None

@@ -60,3 +60,36 @@ def test_groupnorm_bf16_and_grad(rng):
     g1 = jax.grad(lambda a: jnp.sum(group_norm_act(a, scale, bias, G, 1e-5, "silu", True) ** 2))(xf)
     g2 = jax.grad(lambda a: jnp.sum(_xla_gn(a, scale, bias, G, 1e-5, "silu") ** 2))(xf)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "B,N,C,dtype",
+    [
+        (2, 4096, 512, jnp.float32),   # VAE decoder 64^2 map (tiled path)
+        (1, 16384, 256, jnp.bfloat16), # VAE decoder 128^2 map
+    ],
+)
+def test_groupnorm_tiled_matches_xla(rng, B, N, C, dtype):
+    from mvdfusion_tpu.ops.groupnorm import _MAX_SLICE_ELEMS, _pick_tile
+
+    assert N * C > _MAX_SLICE_ELEMS  # actually exercises the tiled dispatch
+    assert _pick_tile(N, C) is not None
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 1.5 - 0.2, dtype)
+    scale = jnp.asarray(rng.normal(size=(C,)) * 0.5 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(C,)) * 0.2, jnp.float32)
+    ref = _xla_gn(x, scale, bias, 32, 1e-6, "silu")
+    out = group_norm_act(x, scale, bias, 32, 1e-6, "silu", True)  # interpret
+    atol = 3e-2 if dtype == jnp.bfloat16 else 3e-5
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol
+    )
+
+
+def test_pick_tile():
+    from mvdfusion_tpu.ops.groupnorm import _TILE_ELEMS, _pick_tile
+
+    assert _pick_tile(4096, 512) == 1024
+    assert _pick_tile(65536, 128) == 4096
+    t = _pick_tile(16384, 256)
+    assert t is not None and 16384 % t == 0 and t * 256 <= _TILE_ELEMS
+    assert _pick_tile(3, 99999999) is None  # nothing divides -> XLA fallback
