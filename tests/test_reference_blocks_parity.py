@@ -241,3 +241,73 @@ def test_ref_diagonal_gaussian_mode(ref, rng):
     m = rng.normal(size=(2, 8, 4, 4)).astype(np.float32)
     dist = ref["distributions"].DiagonalGaussianDistribution(torch.from_numpy(m))
     np.testing.assert_allclose(dist.mode().numpy(), m[:, :4], atol=0)
+
+
+@pytest.mark.slow
+def test_ref_full_grafted_unet(ref, rng):
+    """The WHOLE modified UNet against the reference's own UNetModel
+    (mvdfusion/unet.py:215-556): stock input blocks, ViewAligned grafts
+    after the SpatialTransformer in the middle block and every
+    attention-bearing output block, skip threading, timestep embedding.
+    omegaconf (only used for an isinstance check in __init__,
+    unet.py:279-281) is stubbed."""
+    import types
+
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+        lc = types.ModuleType("omegaconf.listconfig")
+        lc.ListConfig = type("ListConfig", (), {})
+        om.listconfig = lc
+        om.OmegaConf = type("OmegaConf", (), {})
+        sys.modules["omegaconf"] = om
+        sys.modules["omegaconf.listconfig"] = lc
+    try:
+        from mvdfusion.unet import UNetModel as RefUNetModel
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference UNetModel not importable: {e}")
+
+    from mvdfusion_tpu.convert.mapping import unet_mapping
+
+    B, H, ctx_dim, D = 2, 32, 64, 1
+    tmod = RefUNetModel(
+        image_size=H, in_channels=10, model_channels=32, out_channels=5,
+        num_res_blocks=2, attention_resolutions=(4, 2, 1), dropout=0.0,
+        channel_mult=(1, 2, 4, 4), num_heads=4, transformer_depth=1,
+        context_dim=ctx_dim,
+    ).eval()
+    torch_ref.randomize_(tmod, std=0.04, seed=6)
+    fmod = U.UNetModel(
+        in_channels=10, model_channels=32, out_channels=5, num_res_blocks=2,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=4,
+        transformer_depth=1, context_dim=ctx_dim,
+    )
+
+    class _Cfg:
+        unet_model_channels = 32
+        unet_channel_mult = (1, 2, 4, 4)
+        unet_num_res_blocks = 2
+        unet_transformer_depth = 1
+        unet_attention_resolutions = (4, 2, 1)
+
+    x = rng.normal(size=(B, H, H, 10)).astype(np.float32)
+    t = np.asarray([500, 137], np.int64)
+    context = rng.normal(size=(B, 1, ctx_dim)).astype(np.float32)
+    vols = [
+        rng.normal(size=(B, H // 2**i, H // 2**i, D, ctx_dim)).astype(np.float32)
+        for i in range(4)
+    ]
+    params = fmod.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t), jnp.asarray(context),
+        [jnp.asarray(v) for v in vols],
+    )
+    params = convert(params, tmod, unet_mapping(_Cfg()))
+    ours = np.asarray(
+        jax.jit(fmod.apply)(params, jnp.asarray(x), jnp.asarray(t),
+                            jnp.asarray(context), [jnp.asarray(v) for v in vols])
+    )
+    with torch.no_grad():
+        want = tmod(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(t),
+            torch.from_numpy(context), volume_feats=[torch.from_numpy(v) for v in vols],
+        ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, want, atol=5e-4)
