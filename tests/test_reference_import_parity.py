@@ -163,3 +163,57 @@ def test_timestep_embedding_matches_reference(ref):
         np.testing.assert_allclose(
             np.asarray(our_timestep_embedding(jnp.asarray(t), dim)), theirs, rtol=1e-4, atol=5e-5
         )
+
+
+def test_harmonic_embedding_matches_reference(rng):
+    """utils/common_utils.py:161-271 HarmonicEmbedding (the PyTorch3D fork)
+    vs geometry/harmonics.harmonic_embed — the GridAttn token build depends
+    on the exact [sin(all) | cos(all) | x] layout and per-dim frequency
+    interleaving (n=7, omega0=0.1, append_input=True at
+    view_attn_efficient2.py:148-151)."""
+    try:
+        from utils.common_utils import HarmonicEmbedding
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+    import jax.numpy as jnp
+
+    from mvdfusion_tpu.geometry.harmonics import harmonic_embed
+
+    x = rng.normal(size=(3, 5, 6)).astype(np.float32)
+    for n, omega0, append in [(7, 0.1, True), (4, 1.0, False)]:
+        ref_mod = HarmonicEmbedding(
+            n_harmonic_functions=n, omega_0=omega0, append_input=append
+        )
+        want = ref_mod(torch.from_numpy(x)).numpy()
+        ours = np.asarray(harmonic_embed(jnp.asarray(x), n, omega0, append))
+        np.testing.assert_allclose(ours, want, atol=1e-6)
+
+
+def test_normalize_split_list_match_reference(rng):
+    """utils/common_utils.py:60-83 normalize/unnormalize ([0,1]<->[-1,1])
+    and split_list (eval data-parallel sharding, demo.py:63-65)."""
+    try:
+        from utils.common_utils import normalize, split_list, unnormalize
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+    import jax.numpy as jnp
+
+    from mvdfusion_tpu.utils.common import normalize as our_normalize
+    from mvdfusion_tpu.utils.common import split_list as our_split_list
+    from mvdfusion_tpu.utils.common import unnormalize as our_unnormalize
+
+    x = rng.uniform(size=(4, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(our_normalize(jnp.asarray(x))),
+        normalize(torch.from_numpy(x)).numpy(), atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_unnormalize(our_normalize(jnp.asarray(x)))), x, atol=1e-6
+    )
+    y = normalize(torch.from_numpy(x))
+    np.testing.assert_allclose(
+        np.asarray(our_unnormalize(jnp.asarray(y.numpy()))),
+        unnormalize(y).numpy(), atol=1e-7,
+    )
+    for n, k in [(10, 3), (7, 7), (5, 2)]:
+        assert our_split_list(list(range(n)), k) == split_list(list(range(n)), k)
