@@ -62,16 +62,24 @@ from mvdfusion_tpu.ops.crossview import _gelu
 _LN_EPS = 1e-5
 _FF_CHUNK = 256
 # softmax strategy (A/B'd on-chip with tools/block_tune.py):
-#   v1: scale -> max-shift -> exp -> divide -> cast -> PV
-#   v2: max-shift and scale fused into the exp chain, normalization applied
-#       AFTER PV to the (dh, N) output instead of the (N, N) probability
-#       tile — removes an N^2 fp32 divide per head, exact same math.
-# Measured on v5e (2 runs x 50 chained iters): no reliable difference —
-# site time swings +-25% run-to-run and v2's sign flips with it, i.e. the
-# softmax tail is not where these kernels' time goes. v1 stays the default.
+#   v1:   scale -> max-shift -> exp -> divide -> cast -> PV
+#   v2:   max-shift and scale fused into the exp chain, normalization applied
+#         AFTER PV to the (dh, N) output instead of the (N, N) probability
+#         tile — removes an N^2 fp32 divide per head, exact same math.
+#   exp2: v2 with exp(x) written as exp2(x * log2 e) — if Mosaic lowers exp
+#         as exp2 + a separate multiply pass, this folds the multiply into
+#         the existing shift/scale pass (one fewer VPU sweep over N^2 fp32).
+#   bf16: v2 with the exp argument cast to bf16 first — the transcendental
+#         runs on half-width vectors (2x lanes/pass IF the VPU keeps bf16
+#         packed through exp). Worst-case prob error ~|logit-max|*2^-9
+#         relative, i.e. exact near the max and ~1% on e^-10-class weights;
+#         p was already cast to bf16 for the PV matmul in every variant.
+# v1 vs v2 measured on v5e (2 runs x 50 chained iters): no reliable
+# difference — site time swings +-25% run-to-run and v2's sign flips with
+# it. v1 stays the default until a variant beats it on a full bench run.
 import os as _os
 
-_SOFTMAX_V2 = _os.environ.get("MVDF_BLOCK_SOFTMAX", "v1") == "v2"
+_SOFTMAX_MODE = _os.environ.get("MVDF_BLOCK_SOFTMAX", "v1")
 # single-kernel weight-residency budget; above it the site splits into an
 # attention kernel + an FF kernel. Default 0 = ALWAYS split: benched on v5e
 # (full 50-step flagship run, the only stable timing on this box), the
@@ -176,13 +184,18 @@ def _attn_part(x_in, a2, gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref, ln1_g_ref,
             qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=f32
         )  # (Nq, Nk) fp32, unscaled
         m = jnp.max(logits, axis=1, keepdims=True)
-        if _SOFTMAX_V2:
+        if _SOFTMAX_MODE != "v1":
             # softmax(l*s) == exp((l - max(l)) * s) / sum(...): the shift and
             # temperature ride one fused VPU pass; normalization is applied
             # AFTER PV to the (dh, N) output (identical math, N x fewer
             # divides). The denominator comes from a ones-row MXU dot so it
             # lands in lanes (q-indexed) without a sublane->lane relayout.
-            p = jnp.exp((logits - m) * scale).astype(dt)
+            if _SOFTMAX_MODE == "exp2":
+                p = jnp.exp2((logits - m) * (scale * 1.4426950408889634)).astype(dt)
+            elif _SOFTMAX_MODE == "bf16":
+                p = jnp.exp(((logits - m) * scale).astype(jnp.bfloat16)).astype(dt)
+            else:  # v2
+                p = jnp.exp((logits - m) * scale).astype(dt)
             s = jax.lax.dot_general(
                 jnp.ones((1, p.shape[1]), dt), p, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32,

@@ -79,6 +79,26 @@ def test_split_form_matches_single(rng, monkeypatch):
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["v2", "exp2", "bf16"])
+def test_softmax_variants_match_xla(rng, monkeypatch, mode):
+    """Every MVDF_BLOCK_SOFTMAX variant must reproduce the XLA softmax.
+    v2/exp2 are exact reformulations; bf16 rounds the exp argument to bf16
+    (worst-case prob error ~|logit-max|*2^-9 relative), hence its looser
+    tolerance."""
+    import mvdfusion_tpu.ops.block as blk
+
+    monkeypatch.setattr(blk, "_SOFTMAX_MODE", mode)
+    B, H, W, C, heads = 2, 8, 8, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 1, 48)), jnp.float32)
+    ref_mod = SpatialTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = SpatialTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, ctx), rng)
+    ref = np.asarray(ref_mod.apply(params, x, ctx))
+    out = np.asarray(fus_mod.apply(params, x, ctx))
+    np.testing.assert_allclose(out, ref, atol=2e-4 if mode != "bf16" else 2e-3)
+
+
 def test_view_aligned_d3_falls_back(rng):
     """D>1 per-pixel attention depends on x mid-block — must use XLA path."""
     B, H, W, C, heads, Cc = 2, 4, 4, 32, 4, 24
