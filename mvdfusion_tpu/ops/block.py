@@ -80,6 +80,14 @@ _FF_CHUNK = 256
 import os as _os
 
 _SOFTMAX_MODE = _os.environ.get("MVDF_BLOCK_SOFTMAX", "v1")
+# batch tiling: process NB batch elements per grid step — the projections
+# (proj_in/qkv/out/GEGLU/FF/proj_out) then run at NB*N lanes (fewer, larger
+# MXU ops) and the grid has B/NB steps (fewer pipeline bubbles); attention
+# and GroupNorm stay exactly per-batch via lane-slice loops / segment
+# matmuls. NB=1 is the round-1 kernel unchanged. VMEM grows ~NB x on the
+# activation tiles: NB=2 at the 32^2 site is ~15 MB — at the scoped limit;
+# gate NB>2 behind measurement.
+_BATCH_TILE = int(_os.environ.get("MVDF_BLOCK_NB", "1"))
 # single-kernel weight-residency budget; above it the site splits into an
 # attention kernel + an FF kernel. Default 0 = ALWAYS split: benched on v5e
 # (full 50-step flagship run, the only stable timing on this box), the
@@ -129,27 +137,51 @@ _GN_GROUPS = 32
 _GN_EPS = 1e-6  # the SpatialTransformer/ViewAligned site GN (attention.py:254)
 
 
-def _gn_t(x, g_ref, b_ref):
+def _gn_t(x, g_ref, b_ref, nb: int = 1):
     """GroupNorm(32) of a transposed (C, N) batch tile, fp32 stats — same
     E[x^2]-E[x]^2 semantics as ops/groupnorm.py / nn.layers.GroupNorm32.
     Group aggregation over the contiguous C/G sublane bands via a 0/1
-    segment matmul (no sublane-splitting reshapes)."""
+    segment matmul (no sublane-splitting reshapes). With nb > 1 the lane
+    axis packs nb batch elements (nb contiguous blocks of N/nb tokens) and
+    the statistics are kept per sub-batch via a second lane-segment matmul."""
     f32 = jnp.float32
     C, N = x.shape
     cg = C // _GN_GROUPS
     xf = x.astype(f32)
-    s1 = jnp.sum(xf, axis=1, keepdims=True)  # (C, 1)
-    s2 = jnp.sum(xf * xf, axis=1, keepdims=True)
     segG = (
         jax.lax.broadcasted_iota(jnp.int32, (_GN_GROUPS, C), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (_GN_GROUPS, C), 1) // cg
     ).astype(f32)
-    cnt = float(cg * N)
-    mu = jnp.dot(segG, s1, preferred_element_type=f32) / cnt  # (G, 1)
-    ex2 = jnp.dot(segG, s2, preferred_element_type=f32) / cnt
-    rstd = jax.lax.rsqrt(ex2 - mu * mu + _GN_EPS)
-    mu_c = jnp.dot(segG.T, mu, preferred_element_type=f32)  # (C, 1)
-    rstd_c = jnp.dot(segG.T, rstd, preferred_element_type=f32)
+    if nb == 1:
+        s1 = jnp.sum(xf, axis=1, keepdims=True)  # (C, 1)
+        s2 = jnp.sum(xf * xf, axis=1, keepdims=True)
+        cnt = float(cg * N)
+        mu = jnp.dot(segG, s1, preferred_element_type=f32) / cnt  # (G, 1)
+        ex2 = jnp.dot(segG, s2, preferred_element_type=f32) / cnt
+        rstd = jax.lax.rsqrt(ex2 - mu * mu + _GN_EPS)
+        mu_c = jnp.dot(segG.T, mu, preferred_element_type=f32)  # (C, 1)
+        rstd_c = jnp.dot(segG.T, rstd, preferred_element_type=f32)
+    else:
+        npr = N // nb
+        segN = (
+            jax.lax.broadcasted_iota(jnp.int32, (N, nb), 0) // npr
+            == jax.lax.broadcasted_iota(jnp.int32, (N, nb), 1)
+        ).astype(f32)  # (N, nb)
+        s1 = jnp.dot(xf, segN, preferred_element_type=f32)  # (C, nb)
+        s2 = jnp.dot(xf * xf, segN, preferred_element_type=f32)
+        cnt = float(cg * npr)
+        mu = jnp.dot(segG, s1, preferred_element_type=f32) / cnt  # (G, nb)
+        ex2 = jnp.dot(segG, s2, preferred_element_type=f32) / cnt
+        rstd = jax.lax.rsqrt(ex2 - mu * mu + _GN_EPS)
+        # expand back: channels via segG^T, then lanes via segN^T
+        mu_c = jnp.dot(
+            jnp.dot(segG.T, mu, preferred_element_type=f32), segN.T,
+            preferred_element_type=f32,
+        )  # (C, N)
+        rstd_c = jnp.dot(
+            jnp.dot(segG.T, rstd, preferred_element_type=f32), segN.T,
+            preferred_element_type=f32,
+        )
     y = (xf - mu_c) * (rstd_c * g_ref[...].astype(f32)) + b_ref[...].astype(f32)
     return y.astype(x.dtype)
 
@@ -162,24 +194,31 @@ def _mm(w_ref, h, b_ref=None, dt=None):
 
 
 def _attn_part(x_in, a2, gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref, ln1_g_ref,
-               ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref, heads: int):
-    """site GroupNorm -> proj_in -> LN1 -> self-attn -> +res -> +attn2."""
+               ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref, heads: int,
+               nb: int = 1):
+    """site GroupNorm -> proj_in -> LN1 -> self-attn -> +res -> +attn2.
+
+    With nb > 1 the lane axis packs nb batch elements; GN statistics and the
+    self-attention key set stay per sub-batch (lane-slice loop), while every
+    projection runs once over the full nb*N lanes."""
     f32 = jnp.float32
     C, N = x_in.shape
+    npr = N // nb
     dh = C // heads
     dt = x_in.dtype
 
-    xg = _gn_t(x_in, gn_g_ref, gn_b_ref)
+    xg = _gn_t(x_in, gn_g_ref, gn_b_ref, nb)
     # proj_in (attention.py:253-257, 1x1 conv == per-token dense)
     h0 = _mm(pi_k_ref, xg, pi_b_ref)  # (C, N)
     ln1 = _ln_t(h0, ln1_g_ref, ln1_b_ref)
     qkv = _mm(qkv_k_ref, ln1)  # (3C, N)
     scale = dh ** -0.5
     rows = []
-    for h in range(heads):
-        qT = qkv[h * dh : (h + 1) * dh]  # sublane slices (dh % 8 == 0)
-        kT = qkv[C + h * dh : C + (h + 1) * dh]
-        vT = qkv[2 * C + h * dh : 2 * C + (h + 1) * dh]
+    for h, b in ((h, b) for h in range(heads) for b in range(nb)):
+        sl = slice(b * npr, (b + 1) * npr)  # lane slices (npr % 128 == 0)
+        qT = qkv[h * dh : (h + 1) * dh, sl]  # sublane slices (dh % 8 == 0)
+        kT = qkv[C + h * dh : C + (h + 1) * dh, sl]
+        vT = qkv[2 * C + h * dh : 2 * C + (h + 1) * dh, sl]
         logits = jax.lax.dot_general(
             qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=f32
         )  # (Nq, Nk) fp32, unscaled
@@ -212,6 +251,8 @@ def _attn_part(x_in, a2, gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref, ln1_g_ref,
                     vT, p, (((1,), (1,)), ((), ())), preferred_element_type=f32
                 ).astype(dt)
             )  # (dh, Nq)
+    if nb > 1:  # reassemble (head-major rows, sub-batch-major lanes)
+        rows = [jnp.concatenate(rows[h * nb : (h + 1) * nb], axis=1) for h in range(heads)]
     attn = jnp.concatenate(rows, axis=0)  # (C, N)
     h1 = h0 + _mm(out_k_ref, attn, out_b_ref)
     # attn2: precomputed contribution (see module docstring)
@@ -237,11 +278,11 @@ def _block_kernel(
     gn_g_ref, gn_b_ref,
     pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref,
     ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref, f_k_ref, f_b_ref, po_k_ref, po_b_ref,
-    o_ref, *, heads: int,
+    o_ref, *, heads: int, nb: int = 1,
 ):
     h2 = _attn_part(
         xin_ref[0], a2_ref[0], gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref,
-        ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref, heads,
+        ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref, heads, nb,
     )
     _ff_part(
         h2, xin_ref, ln3_g_ref, ln3_b_ref, g_k_ref, g_b_ref,
@@ -253,11 +294,11 @@ def _attn_kernel(
     xin_ref, a2_ref,
     gn_g_ref, gn_b_ref,
     pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref,
-    o_ref, *, heads: int,
+    o_ref, *, heads: int, nb: int = 1,
 ):
     o_ref[0] = _attn_part(
         xin_ref[0], a2_ref[0], gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref,
-        ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref, heads,
+        ln1_g_ref, ln1_b_ref, qkv_k_ref, out_k_ref, out_b_ref, heads, nb,
     )
 
 
@@ -335,6 +376,21 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         a2T = attn2_add[:, :, None]  # (B, C, 1)
         Na2 = 1
 
+    # batch tiling (MVDF_BLOCK_NB): pack nb batch elements along lanes.
+    # Requires aligned per-batch lane blocks on hardware (N % 128); interpret
+    # mode (tests) exercises the packing math at any N.
+    nb = _BATCH_TILE
+    if nb > 1 and B % nb == 0 and (interpret or N % 128 == 0):
+        if Na2 == 1:
+            a2T = jnp.broadcast_to(a2T, (B, C, N))
+        pack = lambda t: (
+            t.reshape(B // nb, nb, C, N).transpose(0, 2, 1, 3).reshape(B // nb, C, nb * N)
+        )
+        xinT, a2T = pack(xinT), pack(a2T)
+        B, N, Na2 = B // nb, nb * N, nb * N
+    else:
+        nb = 1
+
     col = lambda x: x.reshape(-1, 1)
     vm = lambda shape, im: pl.BlockSpec(shape, im, memory_space=pltpu.VMEM)
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -349,11 +405,14 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         w.g_k.astype(dt), col(w.g_b), w.f_k.astype(dt), col(w.f_b),
         w.po_k.astype(dt), col(w.po_b),
     )
+    # cost in ORIGINAL dims (B/N here may already be batch-packed; the
+    # attention term is per-batch N^2, not packed-lane N^2)
+    B0, N0 = B * nb, N // nb
     cost = pl.CostEstimate(
         # qkv+out+proj_in/out + ff + attention, per batch
-        flops=2 * B * N * C * (6 * C + 3 * inner2 // 2) + 4 * B * N * N * C,
-        bytes_accessed=3 * B * N * C * 2,
-        transcendentals=B * N * N * heads + B * N * inner2 // 2,
+        flops=2 * B0 * N0 * C * (6 * C + 3 * inner2 // 2) + 4 * B0 * N0 * N0 * C,
+        bytes_accessed=3 * B0 * N0 * C * 2,
+        transcendentals=B0 * N0 * N0 * heads + B0 * N0 * inner2 // 2,
     )
 
     # total bf16 weight bytes resident in VMEM for the single-kernel form:
@@ -362,7 +421,7 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
     w_bytes = 2 * (6 * C * C + inner2 * C + C * inner2 // 2)
     if w_bytes <= _SINGLE_KERNEL_WEIGHT_BYTES:
         outT = pl.pallas_call(
-            functools.partial(_block_kernel, heads=heads),
+            functools.partial(_block_kernel, heads=heads, nb=nb),
             grid=(B,),
             in_specs=[io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))] + [const()] * 17,
             out_specs=io_spec,
@@ -374,7 +433,7 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         # split form (the C=640 16^2 sites): attention part, then FF part —
         # h2 round-trips HBM once, but each kernel's weights fit VMEM
         h2T = pl.pallas_call(
-            functools.partial(_attn_kernel, heads=heads),
+            functools.partial(_attn_kernel, heads=heads, nb=nb),
             grid=(B,),
             in_specs=[io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))] + [const()] * 9,
             out_specs=io_spec,
@@ -398,6 +457,10 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
             cost_estimate=cost,
             interpret=interpret,
         )(h2T, xinT, *ff_w)
+    if nb > 1:  # unpack lanes back to (B0, C, N0)
+        outT = (
+            outT.reshape(B, C, nb, N0).transpose(0, 2, 1, 3).reshape(B0, C, N0)
+        )
     return jnp.swapaxes(outT, 1, 2)
 
 

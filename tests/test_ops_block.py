@@ -99,6 +99,44 @@ def test_softmax_variants_match_xla(rng, monkeypatch, mode):
     np.testing.assert_allclose(out, ref, atol=2e-4 if mode != "bf16" else 2e-3)
 
 
+@pytest.mark.parametrize("single", [False, True])
+def test_batch_tiling_matches_xla(rng, monkeypatch, single):
+    """MVDF_BLOCK_NB=2 packs two batch elements per grid step; GN stats and
+    attention keys must stay per sub-batch (spatial site: per-batch a2 row
+    must be broadcast before packing). Covers split (default) and single
+    kernel forms."""
+    import mvdfusion_tpu.ops.block as blk
+
+    monkeypatch.setattr(blk, "_BATCH_TILE", 2)
+    if single:
+        monkeypatch.setattr(blk, "_SINGLE_KERNEL_WEIGHT_BYTES", 1 << 40)
+    B, H, W, C, heads = 4, 8, 8, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 1, 48)), jnp.float32)
+    ref_mod = SpatialTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = SpatialTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, ctx), rng)
+    ref = np.asarray(ref_mod.apply(params, x, ctx))
+    out = np.asarray(fus_mod.apply(params, x, ctx))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_batch_tiling_view_aligned(rng, monkeypatch):
+    """Per-token a2 (ViewAligned site) through the packed-lane path."""
+    import mvdfusion_tpu.ops.block as blk
+
+    monkeypatch.setattr(blk, "_BATCH_TILE", 2)
+    B, H, W, C, heads, Cc = 4, 8, 8, 32, 4, 48
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    vol = jnp.asarray(rng.normal(size=(B, H, W, 1, Cc)), jnp.float32)
+    ref_mod = ViewAlignedFeatureTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = ViewAlignedFeatureTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, vol), rng)
+    ref = np.asarray(ref_mod.apply(params, x, vol))
+    out = np.asarray(fus_mod.apply(params, x, vol))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
 def test_view_aligned_d3_falls_back(rng):
     """D>1 per-pixel attention depends on x mid-block — must use XLA path."""
     B, H, W, C, heads, Cc = 2, 4, 4, 32, 4, 24
