@@ -133,7 +133,7 @@ def parse_trace(outdir: str, top: int = 40):
         )
 
 
-def run_and_trace(outdir: str, steps: int, target: str = "step"):
+def run_and_trace(outdir: str, steps: int, target: str = "step", stretch: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -142,9 +142,14 @@ def run_and_trace(outdir: str, steps: int, target: str = "step"):
     from mvdfusion_tpu.nn.viewfusion import ViewFusion, ViewFusionConfig
 
     cfg = ViewFusionConfig()
+    n_views, img = 8, 256
+    if stretch:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, latent_size=64, n_pts_per_ray=3)
+        img = 512
     model = ViewFusion(cfg)
     rng = np.random.default_rng(0)
-    n_views, img = 8, 256
     S = n_views + 1
     images = jnp.asarray(rng.uniform(size=(S, img, img, 3)), jnp.float32)
     azim = np.linspace(0.0, 360.0 * (S - 1) / S, S)
@@ -230,11 +235,15 @@ def main():
         "--target", default="step", choices=("step", "decode"),
         help="step = one CFG denoising step (default); decode = VAE decode of the 8 views",
     )
+    ap.add_argument(
+        "--stretch", action="store_true",
+        help="trace the 512^2-class stretch shape (64^2 latents, D=3) instead",
+    )
     args = ap.parse_args()
     if args.parse_only:
         parse_trace(args.parse_only, args.top)
         return
-    run_and_trace(args.outdir, args.steps, args.target)
+    run_and_trace(args.outdir, args.steps, args.target, args.stretch)
     parse_trace(args.outdir, args.top)
 
 
