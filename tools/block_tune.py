@@ -74,7 +74,9 @@ def main():
     from mvdfusion_tpu.ops.block import _xla_reference, transformer_block
 
     print(f"device={jax.devices()[0].device_kind}  "
-          f"MVDF_BLOCK_SOFTMAX={os.environ.get('MVDF_BLOCK_SOFTMAX', 'v1')}",
+          f"MVDF_BLOCK_SOFTMAX={os.environ.get('MVDF_BLOCK_SOFTMAX', 'v1')}  "
+          f"MVDF_BLOCK_NB={os.environ.get('MVDF_BLOCK_NB', '1')}  "
+          f"MVDF_BLOCK_SINGLE={os.environ.get('MVDF_BLOCK_SINGLE', '')}",
           file=sys.stderr)
 
     shapes = [
@@ -89,6 +91,13 @@ def main():
 
         fused = jax.jit(lambda x, a2, w: transformer_block(x, a2, w, heads))
         ref = jax.jit(lambda x, a2, w: _xla_reference(x, a2, w, heads))
+
+        # on-chip numerics: real Mosaic lowering vs the XLA twin (interpret
+        # tests cover the math; this catches compiled-lowering divergence)
+        err = float(jnp.max(jnp.abs(
+            fused(x, a2, w).astype(f32) - ref(x, a2, w).astype(f32)
+        )))
+        print(f"{name}: max|fused-xla| = {err:.3e}", file=sys.stderr)
 
         t_f = time_fn(fused, x, a2, w, iters=a.iters)
         t_r = time_fn(ref, x, a2, w, iters=a.iters)
