@@ -446,8 +446,10 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         # (+1.3 ms/step at 32^2 going 128 -> 512). Budget: GEGLU weights
         # (C=640: ~10.7 MB) + (2*inner, chunk) bf16 intermediate + io tiles
         # must stay under the ~16 MB VMEM scope — C=640 fits chunk 256
-        # (~14.5 MB), C<=384 fits 512 comfortably.
-        ffc = min(N, 512 if C <= 384 else 256)
+        # (~14.5 MB), C<=384 fits 512 comfortably. MVDF_BLOCK_FFC overrides
+        # for A/B (esp. with NB>1 where N is the packed lane count).
+        ffc = min(N, int(_os.environ.get("MVDF_BLOCK_FFC", "0")) or
+                  (512 if C <= 384 else 256))
         outT = pl.pallas_call(
             functools.partial(_ff_kernel, chunk=ffc),
             grid=(B,),
