@@ -11,9 +11,16 @@ counterpart is one SPMD program over a `jax.sharding.Mesh`:
     (Megatron-style column/row sharding of the big Dense/conv kernels).
     XLA inserts the matching all-gathers/reduce-scatters over ICI.
 
+  * `sp` axis (optional) — view parallelism: the per-scene TARGET-VIEW
+    axis. Each target view is an independent query batch through the UNet
+    (the V-view coupling lives only in GridAttn's INPUT views, replicated),
+    so sp scales the per-scene view count the way dp scales scenes
+    (tests/test_parallel_and_train.py::test_sp_view_parallel_train_step).
+
 No pipeline/expert axes: the reference has no pipeline or MoE structure
-(SURVEY.md §2.5); the analogous sequence axis (the V view axis inside
-GridAttn) stays on-chip here and is the target of the Pallas fusion work.
+(SURVEY.md §2.5); pp/ep have no semantic counterpart in this model. The
+remaining sequence axis (the V input-view axis inside GridAttn) stays
+on-chip and is the target of the Pallas fusion work.
 """
 
 from __future__ import annotations
@@ -26,13 +33,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh over the available devices."""
+def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp[, sp], tp) mesh over the available devices.
+
+    `sp` > 1 adds a view-parallel axis between dp and tp: the per-scene
+    TARGET-VIEW axis shards over it (each target view is an independent
+    query batch through the UNet — the reference's V-view coupling lives
+    only in GridAttn's INPUT views, which stay replicated), so sp scales
+    the per-scene view count the way dp scales scenes. With sp == 1 the
+    mesh is the classic 2-axis (dp, tp) shape."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp <= n, f"mesh {dp}x{tp} needs more than the {n} available devices"
+        dp = n // (tp * sp)
+    assert dp * tp * sp <= n, f"mesh {dp}x{sp}x{tp} needs more than the {n} available devices"
+    if sp > 1:
+        return Mesh(
+            np.asarray(devices[: dp * sp * tp]).reshape(dp, sp, tp),
+            axis_names=("dp", "sp", "tp"),
+        )
     return Mesh(np.asarray(devices[: dp * tp]).reshape(dp, tp), axis_names=("dp", "tp"))
 
 

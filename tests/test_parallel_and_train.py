@@ -193,6 +193,83 @@ def test_fused_path_under_tp_sharding():
     np.testing.assert_allclose(out, ref, atol=5e-4)
 
 
+def test_sp_view_parallel_train_step():
+    """3-axis (dp=2, sp=2, tp=2) mesh: scenes shard over dp, the per-scene
+    TARGET-VIEW axis over sp (each target view is an independent query batch
+    through the UNet; the cross-view coupling lives only in GridAttn's input
+    views, which stay replicated — SURVEY §5 long-context axis), tensors over
+    tp. The sharded loss must equal the single-device loss on the same data
+    and rng."""
+    from mvdfusion_tpu.geometry import look_at_view_transform
+    from mvdfusion_tpu.pipeline.trainer import (
+        TrainConfig, init_train_state, make_train_step, TrainState,
+    )
+
+    cfg = ViewFusionConfig().tiny()
+    model = ViewFusion(cfg)
+    tc = TrainConfig(grad_accum_step=1)
+
+    rng = np.random.default_rng(3)
+    S, IMG = 5, cfg.latent_size * 4
+    n_scenes = 2
+
+    def scene(i):
+        images = jnp.asarray(rng.uniform(size=(S, IMG, IMG, 3)), jnp.float32)
+        R, T = look_at_view_transform(
+            dist=1.5, elev=30.0, azim=np.linspace(0, 288, S) + 90 + 7 * i
+        )
+        return images, jnp.asarray(R), jnp.asarray(T), jnp.full((S, 2), 2.1875), jnp.zeros((S, 2))
+
+    scenes = [scene(i) for i in range(n_scenes)]
+    batch = {
+        "images": jnp.stack([s[0] for s in scenes]),
+        "R": jnp.stack([s[1] for s in scenes]),
+        "T": jnp.stack([s[2] for s in scenes]),
+        "f": jnp.stack([s[3] for s in scenes]),
+        "c": jnp.stack([s[4] for s in scenes]),
+        "input_idx": jnp.zeros((n_scenes, 1), jnp.int32),
+        "target_idx": jnp.tile(jnp.asarray([[1, 2, 3, 4]], jnp.int32), (n_scenes, 1)),
+    }
+
+    params = jax.jit(lambda *a: model.init(*a, method=ViewFusion.init_all))(
+        jax.random.PRNGKey(0),
+        batch["images"][0], batch["R"][0], batch["T"][0], batch["f"][0],
+        batch["c"][0], batch["input_idx"][0], batch["target_idx"][0],
+        jax.random.PRNGKey(1),
+    )
+
+    # single-device reference
+    state = init_train_state(params, tc)
+    _, loss_ref = jax.jit(make_train_step(model, tc))(state, batch, jax.random.PRNGKey(7))
+    loss_ref = float(loss_ref)
+
+    # (dp, sp, tp) mesh: scene arrays over dp; target_idx over (dp, sp)
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    assert dict(mesh.shape) == {"dp": 2, "sp": 2, "tp": 2}
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    p_shard = param_shardings(params, mesh)
+    data_shard = {
+        k: NamedSharding(mesh, P("dp", "sp") if k == "target_idx" else P("dp"))
+        for k in batch
+    }
+    params_s = jax.device_put(params, p_shard)
+    state_s = init_train_state(params_s, tc)
+    step = jax.jit(
+        make_train_step(model, tc),
+        in_shardings=(
+            TrainState(params=p_shard, opt_state=None, step=None),
+            data_shard,
+            None,
+        ),
+    )
+    batch_s = {k: jax.device_put(v, data_shard[k]) for k, v in batch.items()}
+    _, loss_sp = step(state_s, batch_s, jax.random.PRNGKey(7))
+    loss_sp = float(loss_sp)
+    assert np.isfinite(loss_sp)
+    np.testing.assert_allclose(loss_sp, loss_ref, rtol=2e-5)
+
+
 def test_dryrun_multichip_8dev():
     from __graft_entry__ import dryrun_multichip
 
