@@ -137,6 +137,15 @@ _GN_GROUPS = 32
 _GN_EPS = 1e-6  # the SpatialTransformer/ViewAligned site GN (attention.py:254)
 
 
+def _segN(N: int, nb: int):
+    """(N, nb) 0/1 lane-segment matrix: column b marks batch b's lane block."""
+    npr = N // nb
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (N, nb), 0) // npr
+        == jax.lax.broadcasted_iota(jnp.int32, (N, nb), 1)
+    ).astype(jnp.float32)
+
+
 def _gn_t(x, g_ref, b_ref, nb: int = 1):
     """GroupNorm(32) of a transposed (C, N) batch tile, fp32 stats — same
     E[x^2]-E[x]^2 semantics as ops/groupnorm.py / nn.layers.GroupNorm32.
@@ -163,10 +172,7 @@ def _gn_t(x, g_ref, b_ref, nb: int = 1):
         rstd_c = jnp.dot(segG.T, rstd, preferred_element_type=f32)
     else:
         npr = N // nb
-        segN = (
-            jax.lax.broadcasted_iota(jnp.int32, (N, nb), 0) // npr
-            == jax.lax.broadcasted_iota(jnp.int32, (N, nb), 1)
-        ).astype(f32)  # (N, nb)
+        segN = _segN(N, nb)  # (N, nb)
         s1 = jnp.dot(xf, segN, preferred_element_type=f32)  # (C, nb)
         s2 = jnp.dot(xf * xf, segN, preferred_element_type=f32)
         cnt = float(cg * npr)
@@ -255,7 +261,13 @@ def _attn_part(x_in, a2, gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref, ln1_g_ref,
         rows = [jnp.concatenate(rows[h * nb : (h + 1) * nb], axis=1) for h in range(heads)]
     attn = jnp.concatenate(rows, axis=0)  # (C, N)
     h1 = h0 + _mm(out_k_ref, attn, out_b_ref)
-    # attn2: precomputed contribution (see module docstring)
+    # attn2: precomputed contribution (see module docstring). On the packed
+    # path a per-batch a2 row arrives as (C, nb) columns and is expanded to
+    # lanes via the segment matrix (vs materializing (B, C, N) in HBM).
+    if nb > 1 and a2.shape[-1] == nb:
+        a2 = jnp.dot(
+            a2.astype(f32), _segN(N, nb).T, preferred_element_type=f32
+        )  # (C, N)
     return h1 + jnp.broadcast_to(a2.astype(dt), (C, N))
 
 
@@ -376,20 +388,43 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         a2T = attn2_add[:, :, None]  # (B, C, 1)
         Na2 = 1
 
+    # total bf16 weight bytes resident in VMEM for the single-kernel form:
+    # proj_in + attn-out + proj_out (3*C^2) + qkv (3*C^2) + GEGLU + FF down;
+    # past the budget (C=640's 14.7 MB) it must split into two kernels
+    w_bytes = 2 * (6 * C * C + inner2 * C + C * inner2 // 2)
+
     # batch tiling (MVDF_BLOCK_NB): pack nb batch elements along lanes.
     # Requires aligned per-batch lane blocks on hardware (N % 128); interpret
-    # mode (tests) exercises the packing math at any N.
+    # mode (tests) exercises the packing math at any N. The request is
+    # clamped (halving) to a divisor of B and to the measured VMEM envelopes
+    # — packed lanes <= 1024 for the single-kernel form, <= 2048 for the
+    # split form — with a trace-time warning, instead of compile-crashing
+    # the whole model on an oversized request.
     nb = _BATCH_TILE
-    if nb > 1 and B % nb == 0 and (interpret or N % 128 == 0):
+    if nb > 1:
+        req = nb
+        cap = 1024 if w_bytes <= _SINGLE_KERNEL_WEIGHT_BYTES else 2048
+        while nb > 1 and (B % nb or (not interpret and (N % 128 or nb * N > cap))):
+            nb //= 2
+        if nb != req:
+            import sys
+
+            print(
+                f"[ops.block] MVDF_BLOCK_NB={req} not usable at B={B}, N={N}, "
+                f"C={C} (divisibility/VMEM envelope); running nb={nb}",
+                file=sys.stderr,
+            )
+    if nb > 1:
         if Na2 == 1:
-            a2T = jnp.broadcast_to(a2T, (B, C, N))
-        pack = lambda t: (
-            t.reshape(B // nb, nb, C, N).transpose(0, 2, 1, 3).reshape(B // nb, C, nb * N)
-        )
-        xinT, a2T = pack(xinT), pack(a2T)
-        B, N, Na2 = B // nb, nb * N, nb * N
-    else:
-        nb = 1
+            # per-batch a2 row -> (B//nb, C, nb) columns, expanded to lanes
+            # in-kernel via the segment matrix (no (B, C, N) trip through HBM)
+            a2T = a2T.reshape(B // nb, nb, C, 1).transpose(0, 2, 1, 3).reshape(B // nb, C, nb)
+            Na2 = nb
+        else:
+            a2T = a2T.reshape(B // nb, nb, C, N).transpose(0, 2, 1, 3).reshape(B // nb, C, nb * N)
+            Na2 = nb * N
+        xinT = xinT.reshape(B // nb, nb, C, N).transpose(0, 2, 1, 3).reshape(B // nb, C, nb * N)
+        B, N = B // nb, nb * N
 
     col = lambda x: x.reshape(-1, 1)
     vm = lambda shape, im: pl.BlockSpec(shape, im, memory_space=pltpu.VMEM)
@@ -415,10 +450,6 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         transcendentals=B0 * N0 * N0 * heads + B0 * N0 * inner2 // 2,
     )
 
-    # total bf16 weight bytes resident in VMEM for the single-kernel form:
-    # proj_in + attn-out + proj_out (3*C^2) + qkv (3*C^2) + GEGLU + FF down;
-    # past the budget (C=640's 14.7 MB) it must split into two kernels
-    w_bytes = 2 * (6 * C * C + inner2 * C + C * inner2 // 2)
     if w_bytes <= _SINGLE_KERNEL_WEIGHT_BYTES:
         outT = pl.pallas_call(
             functools.partial(_block_kernel, heads=heads, nb=nb),

@@ -99,15 +99,16 @@ def test_softmax_variants_match_xla(rng, monkeypatch, mode):
     np.testing.assert_allclose(out, ref, atol=2e-4 if mode != "bf16" else 2e-3)
 
 
-@pytest.mark.parametrize("single", [False, True])
-def test_batch_tiling_matches_xla(rng, monkeypatch, single):
-    """MVDF_BLOCK_NB=2 packs two batch elements per grid step; GN stats and
-    attention keys must stay per sub-batch (spatial site: per-batch a2 row
-    must be broadcast before packing). Covers split (default) and single
-    kernel forms."""
+@pytest.mark.parametrize("single,nb", [(False, 2), (True, 2), (False, 8)])
+def test_batch_tiling_matches_xla(rng, monkeypatch, single, nb):
+    """MVDF_BLOCK_NB packs batch elements per grid step; GN stats and
+    attention keys must stay per sub-batch (spatial site: the per-batch a2
+    row rides as (C, nb) columns, expanded in-kernel). Covers split
+    (default) and single kernel forms; nb=8 > B exercises the clamp-to-
+    divisor path (runs as nb=4 with a trace-time warning)."""
     import mvdfusion_tpu.ops.block as blk
 
-    monkeypatch.setattr(blk, "_BATCH_TILE", 2)
+    monkeypatch.setattr(blk, "_BATCH_TILE", nb)
     if single:
         monkeypatch.setattr(blk, "_SINGLE_KERNEL_WEIGHT_BYTES", 1 << 40)
     B, H, W, C, heads = 4, 8, 8, 32, 4

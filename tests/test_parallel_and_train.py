@@ -270,7 +270,10 @@ def test_sp_view_parallel_train_step():
     np.testing.assert_allclose(loss_sp, loss_ref, rtol=2e-5)
 
 
-def test_dryrun_multichip_8dev():
+def test_dryrun_multichip_8dev(monkeypatch):
+    # strict: the 3-axis (dp, sp, tp) path must succeed itself — the driver's
+    # graceful (dp, tp) fallback would otherwise mask sp regressions here
+    monkeypatch.setenv("MVDF_DRYRUN_STRICT", "1")
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)

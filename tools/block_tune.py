@@ -95,7 +95,7 @@ def main():
         # on-chip numerics: real Mosaic lowering vs the XLA twin (interpret
         # tests cover the math; this catches compiled-lowering divergence)
         err = float(jnp.max(jnp.abs(
-            fused(x, a2, w).astype(f32) - ref(x, a2, w).astype(f32)
+            fused(x, a2, w).astype(jnp.float32) - ref(x, a2, w).astype(jnp.float32)
         )))
         print(f"{name}: max|fused-xla| = {err:.3e}", file=sys.stderr)
 
