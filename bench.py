@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -75,6 +76,19 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: the flagship scan compiles in ~400 s cold;
+    # a warm cache turns repeat bench runs (driver re-runs, knob A/Bs) into
+    # ~seconds of deserialization. Safe to fail: cache errors degrade to a
+    # cold compile with a warning. Opt out with MVDF_NO_COMPILE_CACHE=1.
+    if not os.environ.get("MVDF_NO_COMPILE_CACHE"):
+        try:
+            cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] compile cache unavailable: {e}")
+
     import jax.numpy as jnp
 
     from mvdfusion_tpu.geometry import look_at_view_transform
