@@ -99,6 +99,10 @@ _BATCH_TILE = int(_os.environ.get("MVDF_BLOCK_NB", "1"))
 _SINGLE_KERNEL_WEIGHT_BYTES = (
     8 * 1024 * 1024 if _os.environ.get("MVDF_BLOCK_SINGLE") else 0
 )
+# channel width above which the big-C form is used (3 kernels + streamed FF;
+# the C=1280 8^2/4^2 sites). Tests monkeypatch this down to exercise the big
+# form at CPU-friendly widths.
+_BIG_C_MIN = 768
 
 
 class BlockWeights(NamedTuple):
@@ -325,6 +329,114 @@ def _ff_kernel(
     )
 
 
+def _pi_kernel(
+    xin_ref, gn_g_ref, gn_b_ref, pi_k_ref, pi_b_ref, ln1_g_ref, ln1_b_ref,
+    h0_ref, ln1_ref, *, nb: int,
+):
+    """Big-C form, kernel 1/3: site GroupNorm -> proj_in -> LN1.
+
+    Split out of the attention kernel so neither kernel's resident weights
+    exceed VMEM at C=1280 (pi+qkv+out together are 5C^2 = 16.4 MB bf16)."""
+    h0 = _mm(pi_k_ref, _gn_t(xin_ref[0], gn_g_ref, gn_b_ref, nb), pi_b_ref)
+    h0_ref[0] = h0
+    ln1_ref[0] = _ln_t(h0, ln1_g_ref, ln1_b_ref)
+
+
+def _bigattn_kernel(
+    ln1_ref, h0_ref, a2_ref, qkv_k_ref, out_k_ref, out_b_ref,
+    o_ref, *, heads: int, nb: int,
+):
+    """Big-C form, kernel 2/3: qkv -> masked self-attn -> out proj -> +res
+    -> +attn2.
+
+    The 8^2/4^2 sites have N < 128 tokens, below the lane tile — nb batch
+    elements are packed along lanes to reach 128. Unlike the small-C split
+    form (per-sub-batch LANE SLICES, which need 128-aligned offsets), the
+    per-sub-batch key set is enforced with a block-diagonal ADDITIVE BIAS on
+    the full (N, N) logits: cross-batch positions get -1e30 and fall out of
+    the softmax exactly (exp -> 0). At these shapes the masked full-width
+    logits are trivially small (128x128 fp32 per head)."""
+    f32 = jnp.float32
+    ln1 = ln1_ref[0]
+    C, N = ln1.shape
+    dh = C // heads
+    dt = ln1.dtype
+    npr = N // nb
+    qkv = _mm(qkv_k_ref, ln1)  # (3C, N)
+    scale = dh ** -0.5
+    bias = None
+    if nb > 1:
+        bias = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // npr
+            == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // npr,
+            0.0,
+            -1e30,
+        ).astype(f32)
+    rows = []
+    for h in range(heads):
+        qT = qkv[h * dh : (h + 1) * dh]
+        kT = qkv[C + h * dh : C + (h + 1) * dh]
+        vT = qkv[2 * C + h * dh : 2 * C + (h + 1) * dh]
+        logits = jax.lax.dot_general(
+            qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )  # (Nq, Nk)
+        if bias is not None:
+            logits = logits + bias
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp((logits - m) * scale)
+        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
+        rows.append(
+            jax.lax.dot_general(
+                vT, p, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ).astype(dt)
+        )
+    attn = jnp.concatenate(rows, axis=0)  # (C, N), lanes still sub-batch packed
+    h1 = h0_ref[0] + _mm(out_k_ref, attn, out_b_ref)
+    a2 = a2_ref[0]
+    if nb > 1 and a2.shape[-1] == nb:
+        a2 = jnp.dot(a2.astype(f32), _segN(N, nb).T, preferred_element_type=f32)
+    o_ref[0] = h1 + jnp.broadcast_to(a2.astype(dt), (C, N))
+
+
+def _ff_stream_kernel(
+    h2_ref, xin_ref, ln3_g_ref, ln3_b_ref,
+    g1_k_ref, g1_b_ref, g2_k_ref, g2_b_ref, f_k_ref, f_b_ref,
+    po_k_ref, po_b_ref, o_ref, l3_scr, acc_scr, *, k_steps: int,
+):
+    """Big-C form, kernel 3/3: LN3 -> GEGLU FF -> +res -> proj_out -> +x_in,
+    STREAMED over the FF inner dimension.
+
+    At C=1280 the GEGLU weights alone are 26 MB bf16 — no token chunking
+    makes them resident. Instead the grid's second axis walks inner-dim
+    chunks: each step Mosaic pipelines the next (ck, C)/(C, ck) weight
+    tiles HBM->VMEM while this step's partial f_k @ (g1 * gelu(g2)) is
+    accumulated into an fp32 VMEM scratch; LN3 is computed once at k=0
+    into a second scratch. proj_out fires on the last chunk. GEGLU split
+    follows the reference (attention.py:37-48): value rows g_k[:inner],
+    gate rows g_k[inner:]."""
+    f32 = jnp.float32
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        h2 = h2_ref[0]
+        l3_scr[...] = _ln_t(h2, ln3_g_ref, ln3_b_ref)
+        acc_scr[...] = h2.astype(f32) + f_b_ref[...].astype(f32)
+
+    l3 = l3_scr[...]
+    val = _mm(g1_k_ref, l3, g1_b_ref)  # (ck, N)
+    gate = _mm(g2_k_ref, l3, g2_b_ref)
+    y = val * _gelu(gate)
+    acc_scr[...] = acc_scr[...] + jax.lax.dot(
+        f_k_ref[...], y, preferred_element_type=f32
+    )
+
+    @pl.when(k == k_steps - 1)
+    def _fin():
+        h3 = acc_scr[...].astype(h2_ref.dtype)
+        o_ref[0] = xin_ref[0] + _mm(po_k_ref, h3, po_b_ref)
+
+
 def _xla_reference(x_in, attn2_add, w: BlockWeights, heads: int):
     """Differentiable plain-XLA twin (natural orientation) used for the
     custom VJP and the kernel's correctness tests. Matches the flax module
@@ -400,8 +512,17 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
     # — packed lanes <= 1024 for the single-kernel form, <= 2048 for the
     # split form — with a trace-time warning, instead of compile-crashing
     # the whole model on an oversized request.
-    nb = _BATCH_TILE
-    if nb > 1:
+    # big-C form (C=1280 8^2/4^2 sites): 3 kernels, masked packed attention,
+    # streamed FF. Packing to 128 lanes is REQUIRED there (N < 128), not a
+    # tuning knob; an indivisible batch falls back to the XLA path.
+    big = C > _BIG_C_MIN
+    if big:
+        nb = max(1, 128 // N) if (interpret or N < 128) else 1
+        if B % nb:
+            return _xla_reference(x_in, attn2_add, w, heads)
+    else:
+        nb = _BATCH_TILE
+    if nb > 1 and not big:
         req = nb
         cap = 1024 if w_bytes <= _SINGLE_KERNEL_WEIGHT_BYTES else 2048
         while nb > 1 and (B % nb or (not interpret and (N % 128 or nb * N > cap))):
@@ -450,7 +571,64 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         transcendentals=B0 * N0 * N0 * heads + B0 * N0 * inner2 // 2,
     )
 
-    if w_bytes <= _SINGLE_KERNEL_WEIGHT_BYTES:
+    if big:
+        inner = inner2 // 2
+        # FF inner-dim chunk: largest lane-tile multiple <= 640 dividing
+        # inner keeps the streamed weight tiles (g1+g2+f = 6*C*ck bytes)
+        # under ~5 MB at C=1280 with 8 pipeline steps over the 5120 inner
+        ck = inner
+        for cand in range(640, 0, -128):
+            if inner % cand == 0:
+                ck = cand
+                break
+        k_steps = inner // ck
+        h0T, ln1T = pl.pallas_call(
+            functools.partial(_pi_kernel, nb=nb),
+            grid=(B,),
+            in_specs=[io_spec] + [const()] * 6,
+            out_specs=(io_spec, io_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, C, N), dt),
+                jax.ShapeDtypeStruct((B, C, N), dt),
+            ),
+            interpret=interpret,
+        )(
+            xinT, col(w.gn_g), col(w.gn_b), w.pi_k.astype(dt), col(w.pi_b),
+            col(w.ln1_g), col(w.ln1_b),
+        )
+        h2T = pl.pallas_call(
+            functools.partial(_bigattn_kernel, heads=heads, nb=nb),
+            grid=(B,),
+            in_specs=[io_spec, io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))]
+            + [const()] * 3,
+            out_specs=io_spec,
+            out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(ln1T, h0T, a2T, w.qkv_k.astype(dt), w.out_k.astype(dt), col(w.out_b))
+        io2 = lambda: vm((1, C, N), lambda b, k: (b, 0, 0))
+        row_w = vm((ck, C), lambda b, k: (k, 0))
+        row_b = vm((ck, 1), lambda b, k: (k, 0))
+        col_w = vm((C, ck), lambda b, k: (0, k))
+        outT = pl.pallas_call(
+            functools.partial(_ff_stream_kernel, k_steps=k_steps),
+            grid=(B, k_steps),
+            in_specs=[io2(), io2(), const(), const(), row_w, row_b, row_w,
+                      row_b, col_w, const(), const(), const()],
+            out_specs=io2(),
+            out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
+            scratch_shapes=[
+                pltpu.VMEM((C, N), dt),
+                pltpu.VMEM((C, N), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            h2T, xinT, col(w.ln3_g), col(w.ln3_b),
+            w.g_k[:inner].astype(dt), col(w.g_b[:inner]),
+            w.g_k[inner:].astype(dt), col(w.g_b[inner:]),
+            w.f_k.astype(dt), col(w.f_b), w.po_k.astype(dt), col(w.po_b),
+        )
+    elif w_bytes <= _SINGLE_KERNEL_WEIGHT_BYTES:
         outT = pl.pallas_call(
             functools.partial(_block_kernel, heads=heads, nb=nb),
             grid=(B,),
@@ -525,16 +703,30 @@ transformer_block.defvjp(_fwd, _bwd)
 
 
 def should_fuse_block(C: int, N: int, heads: int) -> bool:
-    """TPU-only; the 32^2 (C=320, single kernel) and 16^2 (C=640, split
-    attn/FF kernels) sites. VMEM budget: fp32 (N, N) logits tile + bf16
-    weights + (C, N) working set under the ~16 MB scoped limit; the 8^2
-    C=1280 sites' attention weights alone (~16 MB) do not fit and stay on
-    the XLA path. MVDF_DISABLE_PALLAS=1 forces the XLA path."""
+    """TPU-only; the 32^2 (C=320, single kernel), 16^2 (C=640, split attn/FF
+    kernels) and 8^2/4^2 (C=1280, big-C form: pi/attn/streamed-FF kernels
+    with batch packing to 128 lanes) sites. VMEM budget: fp32 (N, N) logits
+    tile + bf16 weights + (C, N) working set under the ~16 MB scoped limit.
+    MVDF_DISABLE_PALLAS=1 forces the XLA path."""
     import os
 
     if jax.default_backend() != "tpu" or os.environ.get("MVDF_DISABLE_PALLAS"):
         return False
-    if C % heads or (C // heads) % 8 or N % 128 or C % _GN_GROUPS:
+    if C % heads or (C // heads) % 8 or C % _GN_GROUPS:
+        return False
+    if C > _BIG_C_MIN:
+        # big-C form: OFF by default. Measured on v5e (tools/block_tune.py,
+        # chained-call harness so dispatch overhead cancels in the A/B):
+        # fused 2.10 ms vs XLA 1.36 ms at the 8^2 site, 1.76 vs 1.28 at the
+        # 4^2 middle — the (B, K) grid re-streams each site's ~52 MB of
+        # weights once per batch group (~450 MB/site vs XLA's one-pass),
+        # which swamps the emitter win that pays off at 32^2/16^2. Kept
+        # behind MVDF_BLOCK_BIGC=1 (with interpret-mode parity tests) as
+        # groundwork for a one-pass-weights decomposition.
+        if not _os.environ.get("MVDF_BLOCK_BIGC"):
+            return False
+        return C <= 1280 and N <= 128 and (128 % N == 0)
+    if N % 128:
         return False
     # measured VMEM envelopes on v5e: single kernel (C=320, N=1024) ~15 MB;
     # split kernels (C=640, N=256) ~14 MB. The 512^2-stretch's (640, 1024)

@@ -149,3 +149,57 @@ def test_view_aligned_d3_falls_back(rng):
     ref = np.asarray(ref_mod.apply(params, x, vol))
     out = np.asarray(fus_mod.apply(params, x, vol))
     np.testing.assert_allclose(out, ref, atol=0.0)  # same (XLA) path bitwise
+
+
+@pytest.mark.parametrize("hw", [8, 4])
+def test_big_c_form_matches_xla(rng, monkeypatch, hw):
+    """Big-C form (the 8^2/4^2 C=1280 sites): 3 kernels — GN/proj_in/LN1,
+    masked packed attention (block-diagonal bias instead of lane slices),
+    inner-dim-STREAMED GEGLU FF with fp32 VMEM accumulation. Forced at a
+    CPU-friendly width by dropping _BIG_C_MIN; hw=8 packs nb=2, hw=4 packs
+    nb=8 (the middle-block shape)."""
+    import mvdfusion_tpu.ops.block as blk
+
+    monkeypatch.setattr(blk, "_BIG_C_MIN", 16)
+    B, C, heads = 16, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, hw, hw, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 1, 48)), jnp.float32)
+    ref_mod = SpatialTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = SpatialTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, ctx), rng)
+    ref = np.asarray(ref_mod.apply(params, x, ctx))
+    out = np.asarray(fus_mod.apply(params, x, ctx))
+    assert out.shape == ref.shape == (B, hw, hw, C)
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_big_c_form_view_aligned(rng, monkeypatch):
+    """Big-C form with the per-token a2 (ViewAligned grafted site at 8^2)."""
+    import mvdfusion_tpu.ops.block as blk
+
+    monkeypatch.setattr(blk, "_BIG_C_MIN", 16)
+    B, H, W, C, heads, Cc = 4, 8, 8, 32, 4, 48
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    vol = jnp.asarray(rng.normal(size=(B, H, W, 1, Cc)), jnp.float32)
+    ref_mod = ViewAlignedFeatureTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = ViewAlignedFeatureTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, vol), rng)
+    ref = np.asarray(ref_mod.apply(params, x, vol))
+    out = np.asarray(fus_mod.apply(params, x, vol))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_big_c_indivisible_batch_falls_back(rng, monkeypatch):
+    """B not divisible by the forced packing -> XLA fallback, same result."""
+    import mvdfusion_tpu.ops.block as blk
+
+    monkeypatch.setattr(blk, "_BIG_C_MIN", 16)
+    B, H, W, C, heads = 3, 4, 4, 32, 4  # nb would be 8; 3 % 8 != 0
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, 1, 48)), jnp.float32)
+    ref_mod = SpatialTransformer(heads, C // heads, fuse_mode="never")
+    fus_mod = SpatialTransformer(heads, C // heads, fuse_mode="interpret")
+    params = _randomize(ref_mod.init(jax.random.PRNGKey(0), x, ctx), rng)
+    ref = np.asarray(ref_mod.apply(params, x, ctx))
+    out = np.asarray(fus_mod.apply(params, x, ctx))
+    np.testing.assert_allclose(out, ref, atol=2e-4)

@@ -82,6 +82,8 @@ def main():
     shapes = [
         ("32^2 site", 16, 1024, 320, 8),
         ("16^2 site", 16, 256, 640, 8),
+        ("8^2 site", 16, 64, 1280, 8),
+        ("4^2 middle", 16, 16, 1280, 8),
     ]
     key = jax.random.PRNGKey(0)
     for name, B, N, C, heads in shapes:
