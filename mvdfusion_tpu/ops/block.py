@@ -88,6 +88,7 @@ _SOFTMAX_MODE = _os.environ.get("MVDF_BLOCK_SOFTMAX", "v1")
 # activation tiles: NB=2 at the 32^2 site is ~15 MB — at the scoped limit;
 # gate NB>2 behind measurement.
 _BATCH_TILE = int(_os.environ.get("MVDF_BLOCK_NB", "1"))
+_BATCH_TILE_SET = "MVDF_BLOCK_NB" in _os.environ
 # single-kernel weight-residency budget; above it the site splits into an
 # attention kernel + an FF kernel. Default 0 = ALWAYS split: benched on v5e
 # (full 50-step flagship run, the only stable timing on this box), the
@@ -521,6 +522,10 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         if B % nb:
             return _xla_reference(x_in, attn2_add, w, heads)
     else:
+        # NB=1 everywhere: a full-bench A/B of nb=2 at the 16^2 C=640 sites
+        # (the one shape where the standalone harness hinted a win) measured
+        # 4.755 vs 4.832 views/s — the packing's VMEM pressure costs more
+        # than the halved grid bubbles. MVDF_BLOCK_NB stays as an override.
         nb = _BATCH_TILE
     if nb > 1 and not big:
         req = nb
