@@ -76,7 +76,10 @@ _FF_CHUNK = 256
 #         p was already cast to bf16 for the PV matmul in every variant.
 # v1 vs v2 measured on v5e (2 runs x 50 chained iters): no reliable
 # difference — site time swings +-25% run-to-run and v2's sign flips with
-# it. v1 stays the default until a variant beats it on a full bench run.
+# it. bf16 measured on the FULL 50-step bench (the only stable timing on
+# this box): 4.795 vs 4.78 views/s — a wash; the softmax exp chain is NOT
+# the sites' bottleneck at these shapes (it pipelines behind the MXU
+# projections). v1 stays the default.
 import os as _os
 
 _SOFTMAX_MODE = _os.environ.get("MVDF_BLOCK_SOFTMAX", "v1")

@@ -50,6 +50,12 @@ def load_hlo_index(outdir: str):
                 extra = km.group(1) if km else ""
             mm = mpat.search(line)
             mod = "/".join(mm.group(1).split("/")[:2]) if mm else ""
+            # a kOutput "fusion.N" can BE a convolution — detect from the
+            # instruction's own metadata/backend_config, not its name
+            if opcode == "fusion" and (
+                "conv_general_dilated" in line or "convolution_algorithm_config" in line
+            ):
+                extra = (extra + "+conv") if extra else "conv"
             idx[name] = (shape, opcode, extra, mod)
     return idx
 
@@ -95,7 +101,21 @@ def parse_trace(outdir: str, top: int = 40):
     print(f"device XLA-op time total: {total:.2f} ms (all traced steps)")
     rows = sorted(agg.items(), key=lambda kv: -kv[1])
 
+    hlo_early = load_hlo_index(outdir)
+
     def bucket(name: str) -> str:
+        # Classify by the HLO's own metadata where available: a kOutput fusion
+        # named `fusion.596` can BE a convolution (metadata op_name
+        # .../conv_general_dilated, emitter config in backend_config) — name
+        # prefixes alone once mis-bucketed ~8 ms/step of conv time as "other"
+        # and fed the round-2 "conv-ceiling" misdiagnosis.
+        meta = hlo_early.get(name)
+        if meta is not None:
+            shape, opcode, extra, mod = meta
+            if opcode == "custom-call" or "tpu_custom_call" in extra:
+                return "pallas"
+            if "conv" in extra:
+                return "conv-fusion"
         n = name.lower()
         if "conv" in n:
             return "conv-fusion"
@@ -243,6 +263,20 @@ def main():
     if args.parse_only:
         parse_trace(args.parse_only, args.top)
         return
+    # Persistent compile cache (same dir bench.py uses): a cold single-step
+    # compile on the remote-TPU platform runs several minutes; warm re-runs
+    # (knob A/Bs) deserialize in seconds.
+    if not os.environ.get("MVDF_NO_COMPILE_CACHE"):
+        try:
+            import jax
+
+            cache_dir = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+            )
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception as e:  # pragma: no cover
+            print(f"[step_trace] compile cache unavailable: {e}", flush=True)
     run_and_trace(args.outdir, args.steps, args.target, args.stretch)
     parse_trace(args.outdir, args.top)
 
