@@ -37,6 +37,13 @@ def parse_args(argv=None):
         help="scenes per jitted SPMD step (sharded over the mesh dp axis); "
         "1 = plain sequential loop",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="multi-host SPMD: jax.distributed.initialize() makes "
+        "jax.devices() span every host (the reference's -n/-nr launcher, "
+        "demo.py:196-207). Artifact files are written by process 0 only; "
+        "run the SAME command on every host.",
+    )
     return p.parse_args(argv)
 
 
@@ -46,7 +53,13 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
     import jax
+
+    is_proc0 = jax.process_index() == 0
     import jax.numpy as jnp
 
     from mvdfusion_tpu.core.checkpoint import latest_checkpoint, restore_checkpoint
@@ -117,9 +130,12 @@ def main(argv=None):
     all_psnr, all_ssim = [], []
 
     def report(scene, out, done):
-        """Write artifacts + quality metrics for one scene's outputs."""
+        """Write artifacts + quality metrics for one scene's outputs
+        (process 0 only under --multihost)."""
         from mvdfusion_tpu.utils.metrics import psnr, ssim
 
+        if not is_proc0:
+            return
         jpg = save_eval_artifacts(
             save_dir, 0, int(scene["index"]),
             np.asarray(out["pred_rgb"]), np.asarray(out["gt_rgb"]),

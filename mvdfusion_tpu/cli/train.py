@@ -35,7 +35,28 @@ def parse_args(argv=None):
     p.add_argument(
         "--profile", default=None, help="write a jax.profiler trace of steps 10-13 to this dir"
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="multi-host SPMD: call jax.distributed.initialize() so jax.devices() "
+        "spans every host's chips and the mesh is global (the reference's "
+        "-n/-nr node launcher, demo.py:196-207, with zero rendezvous code — "
+        "TPU coordinator discovery is automatic). Checkpoints and printed "
+        "logs are owned by process 0; every process must run THIS same "
+        "command (one process per host).",
+    )
     return p.parse_args(argv)
+
+
+def _maybe_init_multihost(args) -> bool:
+    """jax.distributed.initialize() before any backend touch. Returns True
+    if this process should write checkpoints/artifacts (process 0)."""
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()  # env-based coordinator discovery on TPU
+    import jax
+
+    return jax.process_index() == 0
 
 
 def main(argv=None):
@@ -44,6 +65,7 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    is_proc0 = _maybe_init_multihost(args)
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -246,18 +268,22 @@ def main(argv=None):
                 jax.profiler.stop_trace()
                 print(f"[train] profiler trace written to {args.profile}")
             meter.update(float(loss))
-            if step % loss_interval == 0:
+            if step % loss_interval == 0 and is_proc0:
                 loss_history.append(meter.avg)
                 from mvdfusion_tpu.utils.vis import save_loss_plot
 
                 save_loss_plot(os.path.join(loss_dir, "loss.png"), loss_history, loss_interval)
-            if step % print_interval == 0:
+            if step % print_interval == 0 and is_proc0:
                 dt = (time.time() - t_last) / print_interval
                 t_last = time.time()
                 print(f"[train] epoch {epoch} step {step} loss {meter.avg:.4f} ({dt:.2f}s/it)")
-            if vis_interval and step % vis_interval == 0:
+            if vis_interval and step % vis_interval == 0 and is_proc0:
                 visualize(state.params, batch, step)
-            if step % save_interval == 0:
+            # checkpoint/artifact ownership: process 0 only (the reference's
+            # rank-0 gating, train.py:99-129). device_get of sharded params
+            # all-gathers to host; fine at this model size on every host, but
+            # only one may WRITE the orbax dir.
+            if step % save_interval == 0 and is_proc0:
                 save_checkpoint(
                     ckpt_dir,
                     step,

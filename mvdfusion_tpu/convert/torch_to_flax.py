@@ -202,6 +202,40 @@ def load_sd_vae(
     )
 
 
+def load_zero123_cc(
+    params, cfg: ViewFusionConfig, path: str, verbose: bool = True,
+    return_stats: bool = False,
+):
+    """cc_projection source for the legacy Δ-pose path
+    (weights/zero123_105000_cc.ckpt). With embed_camera_pose=False the
+    reference's cc_projection is a single Linear(768+4, 768) and the ckpt's
+    state_dict is loaded over the whole ViewFusion with strict=False plus an
+    assert of ZERO unexpected keys (viewfusion_zero_depth_rgb.py:112-121) —
+    i.e. the artifact may hold nothing but cc_projection.{weight,bias}.
+    Mirrored here: maps those two tensors onto cc_layers_0 and raises if the
+    ckpt contains anything else (the reference's `assert len(u) == 0`)."""
+    from mvdfusion_tpu.convert.mapping import _dense
+
+    if cfg.embed_camera_pose:
+        raise ValueError(
+            "zero123_cc loads the legacy Δ-pose cc_projection; the config has "
+            "embed_camera_pose=True (3-layer MLP) — see viewfusion_zero_depth_rgb.py:108-121"
+        )
+    state = load_torch_state(path)
+    table: Dict[tuple, tuple] = {}
+    _dense(table, ("cc_layers_0",), "cc_projection")
+    out, stats = apply_mapping(
+        params, state, table, verbose=verbose, strict=True, return_stats=True
+    )
+    if stats.unused_torch:
+        raise ValueError(
+            f"[convert] zero123_cc ckpt has {len(stats.unused_torch)} keys outside "
+            f"cc_projection (e.g. {stats.unused_torch[:3]}) — the reference asserts "
+            "len(unexpected) == 0"
+        )
+    return (out, stats) if return_stats else out
+
+
 def load_clip(
     params, cfg: ViewFusionConfig, path: str, verbose: bool = True,
     strict: bool = True, return_stats: bool = False,

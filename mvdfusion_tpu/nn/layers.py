@@ -67,20 +67,37 @@ class GroupNorm32(nn.Module):
     act: str = "none"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, x2: Optional[jnp.ndarray] = None):
+        """GroupNorm over x, or — with `x2` — over the *virtual concat*
+        [x ‖ x2] without materializing it: parameters are sized C1+C2 and
+        each piece is normalized with its slice of the groups. Exact when
+        no group straddles the seam (every group lies wholly in one piece:
+        C1 % ((C1+C2)//num_groups) == 0), which the caller must ensure.
+        Returns (y1, y2) in that case. Used by the split-skip ResBlock to
+        keep up-path skip concats out of the conv input path."""
+        C1 = x.shape[-1]
+        C = C1 + (x2.shape[-1] if x2 is not None else 0)
+        scale, bias = _ScaleBias(C, name="GroupNorm_0")()
+        if x2 is not None:
+            gw = C // self.num_groups
+            assert C % self.num_groups == 0 and C1 % gw == 0, (C1, C, self.num_groups)
+            g1 = C1 // gw
+            y1 = self._norm_one(x, scale[:C1], bias[:C1], g1)
+            y2 = self._norm_one(x2, scale[C1:], bias[C1:], self.num_groups - g1)
+            return y1, y2
+        return self._norm_one(x, scale, bias, self.num_groups)
+
+    def _norm_one(self, x, scale, bias, num_groups: int) -> jnp.ndarray:
         from mvdfusion_tpu.ops.groupnorm import group_norm_act, should_fuse_gn
 
         C = x.shape[-1]
-        scale, bias = _ScaleBias(C, name="GroupNorm_0")()
-        if not self.is_initializing() and should_fuse_gn(x.shape, self.num_groups):
+        if not self.is_initializing() and should_fuse_gn(x.shape, num_groups):
             y = group_norm_act(
                 x.reshape(x.shape[0], -1, C), scale, bias,
-                self.num_groups, self.epsilon, self.act,
+                num_groups, self.epsilon, self.act,
             )
             return y.reshape(x.shape)
-        xs = x.astype(jnp.float32).reshape(
-            *x.shape[:-1], self.num_groups, C // self.num_groups
-        )
+        xs = x.astype(jnp.float32).reshape(*x.shape[:-1], num_groups, C // num_groups)
         red = tuple(range(1, xs.ndim - 2)) + (xs.ndim - 1,)
         mu = jnp.mean(xs, axis=red, keepdims=True)
         var = jnp.mean(jnp.square(xs), axis=red, keepdims=True) - jnp.square(mu)

@@ -24,10 +24,21 @@ TPU-first choices:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def _SPLIT_SKIP_DISABLED() -> bool:
+    """A/B gate for the split-skip ResBlock form (MVDF_SPLIT_SKIP=1 enables).
+    Default OFF — measured a wash on v5e (step device time 31.9 vs 32.0 ms;
+    each split conv carries the same per-conv emitter overhead, so avoiding
+    the concat bought nothing — ARCHITECTURE.md §5 negative results). Kept
+    behind the env var with a parity test as the measured record."""
+    return os.environ.get("MVDF_SPLIT_SKIP", "0") != "1"
 
 from mvdfusion_tpu.nn.layers import (
     CrossAttention,
@@ -75,17 +86,73 @@ def _attn2_contribution(block, ctx, dtype):
     return v @ av["to_out"]["kernel"].astype(dtype) + av["to_out"]["bias"].astype(dtype)
 
 
-class ResBlock(nn.Module):
-    """openaimodel.py:163-276 ResBlock (no scale-shift, no up/down)."""
+class _SplitConv3x3(nn.Module):
+    """One 3x3 conv whose (kh, kw, C1+C2, out) kernel is applied to two
+    inputs as conv(a, k[:, :, :C1]) + conv(b, k[:, :, C1:]) + bias — the
+    exact linear split of conv(concat(a, b)). Parameter names/shapes match
+    nn.Conv so checkpoints are layout-identical. Built to test whether the
+    up-path concat relayouts were the conv-emitter excess; measured a wash
+    on v5e (the overhead is per-conv, not concat-induced — ARCHITECTURE.md
+    §5), so it's env-gated off by default.
+    """
 
     out_channels: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
-        in_ch = x.shape[-1]
-        h = GroupNorm32(act="silu", name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        C1, C2 = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, C1 + C2, self.out_channels),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype),
+                window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y = conv(a, kernel[:, :, :C1]) + conv(b, kernel[:, :, C1:])
+        return y + bias.astype(y.dtype)
+
+
+class ResBlock(nn.Module):
+    """openaimodel.py:163-276 ResBlock (no scale-shift, no up/down).
+
+    `skip` (up-path skip connection, unet.py:544-545's torch.cat) is taken
+    as a SEPARATE input: when no GroupNorm group straddles the virtual
+    concat seam, the whole GN -> SiLU -> conv1 chain and the residual Dense
+    are computed per piece and summed — mathematically identical to
+    concat-then-ResBlock but without ever materializing the concat (which
+    forced relayout copies between the Pallas site kernels' transposed
+    outputs and the NHWC conv path). Non-aligned widths fall back to a real
+    concat. Parameters are identical in both forms.
+    """
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, emb: jnp.ndarray, skip: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        if skip is not None:
+            C = x.shape[-1] + skip.shape[-1]
+            gw = C // 32
+            if C % 32 != 0 or x.shape[-1] % gw != 0 or _SPLIT_SKIP_DISABLED():
+                x = jnp.concatenate([x, skip], axis=-1)
+                skip = None
+        in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        if skip is None:
+            h = GroupNorm32(act="silu", name="norm1")(x)
+            h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+        else:
+            ha, hb = GroupNorm32(act="silu", name="norm1")(x, skip)
+            h = _SplitConv3x3(self.out_channels, dtype=self.dtype, name="conv1")(ha, hb)
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :].astype(h.dtype)
         h = GroupNorm32(act="silu", name="norm2")(h)
@@ -93,8 +160,33 @@ class ResBlock(nn.Module):
             self.out_channels, (3, 3), dtype=self.dtype, kernel_init=nn.initializers.zeros, name="conv2"
         )(h)
         if in_ch != self.out_channels:
-            x = nn.Dense(self.out_channels, dtype=self.dtype, name="skip")(x)
+            if skip is None:
+                x = nn.Dense(self.out_channels, dtype=self.dtype, name="skip")(x)
+            else:
+                # Dense(concat(x, skip)) == x @ k[:C1] + skip @ k[C1:] + b
+                x = _SplitDense(self.out_channels, dtype=self.dtype, name="skip")(x, skip)
+        elif skip is not None:  # pragma: no cover - up-path concats always widen
+            x = jnp.concatenate([x, skip], axis=-1)
         return x + h
+
+
+class _SplitDense(nn.Module):
+    """Dense over a virtual concat: x @ k[:C1] + y @ k[C1:] + b. Same param
+    names/shapes as nn.Dense."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        C1, C2 = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (C1 + C2, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = a.astype(self.dtype) @ kernel[:C1].astype(self.dtype)
+        y = y + b.astype(self.dtype) @ kernel[C1:].astype(self.dtype)
+        return y + bias.astype(y.dtype)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -372,9 +464,11 @@ class UNetModel(nn.Module):
         # ---- output blocks: Res [+ Spatial + ViewAligned graft] [+ Up] ----
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                # skip passed separately: ResBlock computes the GN/conv1/skip
+                # chain per piece where exact (no concat materialized)
+                skip = hs.pop()
                 ch = mult * mc
-                h = ResBlock(ch, dtype=self.dtype, name=f"up_{level}_res_{i}")(h, emb)
+                h = ResBlock(ch, dtype=self.dtype, name=f"up_{level}_res_{i}")(h, emb, skip)
                 if ds in self.attention_resolutions:
                     h = spatial(f"up_{level}_attn_{i}", ch)(h, context)
                     h = view_attn(f"up_{level}_view_attn_{i}", ch)(h, volume_levels[ds_to_level[ds]])

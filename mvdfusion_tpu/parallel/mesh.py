@@ -12,10 +12,18 @@ counterpart is one SPMD program over a `jax.sharding.Mesh`:
     XLA inserts the matching all-gathers/reduce-scatters over ICI.
 
   * `sp` axis (optional) — view parallelism: the per-scene TARGET-VIEW
-    axis. Each target view is an independent query batch through the UNet
-    (the V-view coupling lives only in GridAttn's INPUT views, replicated),
-    so sp scales the per-scene view count the way dp scales scenes
-    (tests/test_parallel_and_train.py::test_sp_view_parallel_train_step).
+    axis. The UNet/VAE towers treat each target view as an independent
+    batch element, so their work shards cleanly over sp. GridAttn does
+    NOT: it gathers features from and attends across ALL V target views
+    (nn/viewattn.py — every query point samples every view's embedded
+    latent, matching view_attn_efficient2.py:310-316,389-397), so GSPMD
+    must insert cross-view collectives (all-gathers of the per-view
+    latents/features) at the GridAttn boundary every step. Correctness is
+    the partitioner's (sp-vs-single-device loss parity:
+    tests/test_parallel_and_train.py::test_sp_view_parallel_train_step);
+    the communication cost is real and measured by
+    tools/sp_collectives.py — sp pays off only when the per-view UNet
+    work dominates the gathered-feature traffic.
 
 No pipeline/expert axes: the reference has no pipeline or MoE structure
 (SURVEY.md §2.5); pp/ep have no semantic counterpart in this model. The
@@ -37,11 +45,11 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1, devices=None) 
     """Build a (dp[, sp], tp) mesh over the available devices.
 
     `sp` > 1 adds a view-parallel axis between dp and tp: the per-scene
-    TARGET-VIEW axis shards over it (each target view is an independent
-    query batch through the UNet — the reference's V-view coupling lives
-    only in GridAttn's INPUT views, which stay replicated), so sp scales
-    the per-scene view count the way dp scales scenes. With sp == 1 the
-    mesh is the classic 2-axis (dp, tp) shape."""
+    TARGET-VIEW axis shards over it. The UNet/VAE per-view work scales
+    like dp scales scenes, but GridAttn attends across ALL target views,
+    so the partitioner inserts cross-view all-gathers at its boundary
+    (see module docstring; cost measured by tools/sp_collectives.py).
+    With sp == 1 the mesh is the classic 2-axis (dp, tp) shape."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:

@@ -7,7 +7,7 @@ import os
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.slower]
 
 
 @pytest.fixture(scope="module")

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.slower]
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mvdfusion_tpu.geometry import look_at_view_transform

@@ -14,7 +14,7 @@ top-k), AutoencoderKL encode/decode, CLIP visual tower.
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.slower]
 import torch
 
 import jax

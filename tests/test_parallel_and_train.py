@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.slower]
 
 from mvdfusion_tpu.nn.viewfusion import ViewFusion, ViewFusionConfig
 from mvdfusion_tpu.parallel.mesh import make_mesh, param_shardings

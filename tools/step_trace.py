@@ -32,31 +32,61 @@ def load_hlo_index(outdir: str):
     path = os.path.join(outdir, "hlo.txt")
     if not os.path.exists(path):
         return {}
+    with open(path) as f:
+        lines = f.readlines()
+
+    # Pass 1: find fused computations whose BODY contains a convolution. A
+    # fusion whose root is a non-conv op (e.g. a fused bias-add) still owns
+    # the conv's device time — the instruction line alone carries only the
+    # root's metadata, so inspecting it misses these.
+    comp_pat = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*(?:\([^)]*\))?.*\{\s*$")
+    conv_comps = set()
+    cur_comp = None
+    for line in lines:
+        m = comp_pat.match(line)
+        if m and line.rstrip().endswith("{"):
+            cur_comp = m.group(1)
+            continue
+        if line.strip() == "}":
+            cur_comp = None
+            continue
+        if cur_comp is not None and (
+            " convolution(" in line
+            or "conv_general_dilated" in line
+            or "convolution_algorithm_config" in line
+        ):
+            conv_comps.add(cur_comp)
+
     idx = {}
     pat = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\S+)\s+([\w\-]+)\(")
     mpat = re.compile(r'op_name="[^"]*?(?:apply_model_cfg|decode_latents)/([^"]+)"')
-    with open(path) as f:
-        for line in f:
-            m = pat.match(line)
-            if not m:
-                continue
-            name, shape, opcode = m.groups()
-            extra = ""
-            if opcode == "fusion":
-                km = re.search(r"kind=(\w+)", line)
-                extra = km.group(1) if km else ""
-            if opcode == "custom-call":
-                km = re.search(r'custom_call_target="([^"]+)"', line)
-                extra = km.group(1) if km else ""
-            mm = mpat.search(line)
-            mod = "/".join(mm.group(1).split("/")[:2]) if mm else ""
-            # a kOutput "fusion.N" can BE a convolution — detect from the
-            # instruction's own metadata/backend_config, not its name
-            if opcode == "fusion" and (
-                "conv_general_dilated" in line or "convolution_algorithm_config" in line
+    calls_pat = re.compile(r"calls=%?([\w.\-]+)")
+    for line in lines:
+        m = pat.match(line)
+        if not m:
+            continue
+        name, shape, opcode = m.groups()
+        extra = ""
+        if opcode == "fusion":
+            km = re.search(r"kind=(\w+)", line)
+            extra = km.group(1) if km else ""
+        if opcode == "custom-call":
+            km = re.search(r'custom_call_target="([^"]+)"', line)
+            extra = km.group(1) if km else ""
+        mm = mpat.search(line)
+        mod = "/".join(mm.group(1).split("/")[:2]) if mm else ""
+        # a "fusion.N" can BE a convolution — detect from the instruction's
+        # own metadata/backend_config OR from a conv op anywhere inside the
+        # fused computation it calls
+        if opcode == "fusion":
+            cm = calls_pat.search(line)
+            if (
+                "conv_general_dilated" in line
+                or "convolution_algorithm_config" in line
+                or (cm and cm.group(1) in conv_comps)
             ):
                 extra = (extra + "+conv") if extra else "conv"
-            idx[name] = (shape, opcode, extra, mod)
+        idx[name] = (shape, opcode, extra, mod)
     return idx
 
 
@@ -112,8 +142,10 @@ def parse_trace(outdir: str, top: int = 40):
         meta = hlo_early.get(name)
         if meta is not None:
             shape, opcode, extra, mod = meta
-            if opcode == "custom-call" or "tpu_custom_call" in extra:
-                return "pallas"
+            if opcode == "custom-call":
+                # only Mosaic kernels are "pallas"; other custom-call
+                # targets (sort, topk, ...) get their own bucket
+                return "pallas" if "tpu_custom_call" in extra else "custom-call"
             if "conv" in extra:
                 return "conv-fusion"
         n = name.lower()
@@ -135,7 +167,7 @@ def parse_trace(outdir: str, top: int = 40):
     print("\n-- buckets --")
     for b, ms in sorted(buck.items(), key=lambda kv: -kv[1]):
         print(f"  {b:>12}: {ms:8.2f} ms  ({ms/max(total,1e-9)*100:4.1f}%)")
-    hlo = load_hlo_index(outdir)
+    hlo = hlo_early  # already loaded for the bucket pass; hlo.txt can be MBs
     if hlo:
         by_mod = collections.defaultdict(float)
         for name, ms in agg.items():
