@@ -322,6 +322,12 @@ def main() -> None:
         # losses finite and honest.
         tc = TrainConfig(lr=1e-8)
         state = init_train_state(params, tc)
+        # donation below consumes the param buffers shared with `state`;
+        # keep a copy + an abstract template for the MFU/remat analysis
+        params2 = jax.tree_util.tree_map(jnp.copy, params)
+        abs_state = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
         step = jax.jit(make_train_step(model, tc), donate_argnums=(0,))
         t0 = time.time()
         state, loss = step(state, batch, jax.random.PRNGKey(0))
@@ -338,6 +344,66 @@ def main() -> None:
             f"[bench:{tag}] train times={['%.2f' % t for t in times]}s "
             f"steps/s={sps:.2f} (1 scene, 1+5 views) loss={float(loss):.4f}"
         )
+
+        # Training MFU (VERDICT r2 weak #8), same two numerators as eval:
+        # semantic = the Pallas-disabled twin's fwd+bwd+AdamW FLOPs (a
+        # property of the math); device = the live compiled path incl. each
+        # kernel's declared implementation FLOPs.
+        try:
+            os.environ["MVDF_DISABLE_PALLAS"] = "1"
+            try:
+                step_x = jax.jit(make_train_step(model, tc), donate_argnums=(0,))
+                sem_fl = _flops(step_x.lower(abs_state, batch, jax.random.PRNGKey(0)))
+                # Remat verdict: every fused kernel's custom VJP
+                # rematerializes its backward through the XLA twin
+                # (ops/block.py, crossview.py), so the backward gets NO
+                # kernel speedup and re-pays the fwd. Measure the all-XLA
+                # twin step (fwd AND bwd on the XLA path) — if it is not
+                # slower, the kernels' training value is zero and the remat
+                # overhead is the whole story. (env stays set through the
+                # first call so the trace takes the XLA path)
+                st, ls = step_x(
+                    init_train_state(params2, tc), batch, jax.random.PRNGKey(0)
+                )
+                _ = float(ls)
+                tx = []
+                for i in range(5):
+                    t0 = time.time()
+                    st, ls = step_x(st, batch, jax.random.PRNGKey(1 + i))
+                    _ = float(ls)
+                    tx.append(time.time() - t0)
+                sps_x = 1.0 / sorted(tx)[len(tx) // 2]
+                del st
+            finally:
+                del os.environ["MVDF_DISABLE_PALLAS"]
+            sem_mfu = sem_fl / 1e12 * sps / peak if peak else float("nan")
+            log(
+                f"[bench:{tag}] semantic_flops={sem_fl/1e12:.2f} TFLOP/step "
+                f"achieved={sem_fl/1e12*sps:.1f} TFLOP/s MFU={sem_mfu*100:.1f}% (headline)"
+            )
+            verdict = (
+                "fused kernels WIN the train step" if sps > sps_x * 1.02
+                else "all-XLA twin matches/beats the fused path (remat overhead eats the fwd win)"
+            )
+            log(
+                f"[bench:{tag}] all-XLA twin steps/s={sps_x:.2f} vs fused {sps:.2f} "
+                f"-> {verdict}"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"[bench:{tag}] train MFU/remat analysis unavailable: {e}")
+        try:
+            dev_fl = float(
+                jax.jit(make_train_step(model, tc), donate_argnums=(0,))
+                .lower(init_train_state(params, tc), batch, jax.random.PRNGKey(0))
+                .compile().cost_analysis()["flops"]
+            )
+            dev_mfu = dev_fl / 1e12 * sps / peak if peak else float("nan")
+            log(
+                f"[bench:{tag}] device_flops={dev_fl/1e12:.2f} TFLOP/step "
+                f"device-MFU={dev_mfu*100:.1f}% (incl. Pallas-declared impl FLOPs; secondary)"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"[bench:{tag}] train device cost_analysis unavailable: {e}")
 
     scenes = args.scenes if args.scenes is not None else 1
     vps = bench_workload(ViewFusionConfig(), n_views, img, steps, "main", scenes=scenes)

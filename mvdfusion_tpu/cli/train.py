@@ -125,9 +125,10 @@ def main(argv=None):
     latest = latest_checkpoint(ckpt_dir)
     if latest:
         print(f"[train] resuming from {latest}")
-        payload = restore_checkpoint(
-            latest, {"params": state.params, "opt_state": state.opt_state, "step": 0, "epoch": 0}
-        )
+        template = {"params": state.params, "opt_state": state.opt_state, "step": 0, "epoch": 0}
+        if state.ema is not None:
+            template["ema"] = state.ema
+        payload = restore_checkpoint(latest, template)
         # re-place restored leaves on the mesh shardings of the live state —
         # restored arrays land on the default device, and one jit cannot mix
         # single-device and mesh-sharded arguments
@@ -146,6 +147,11 @@ def main(argv=None):
             params=jax.device_put(payload["params"], p_shard),
             opt_state=opt_state,
             step=jax.device_put(jnp.asarray(payload["step"], jnp.int32), NamedSharding(mesh, P())),
+            ema=(
+                jax.device_put(payload["ema"], p_shard)
+                if state.ema is not None and "ema" in payload
+                else state.ema
+            ),
         )
         start_step, start_epoch = int(payload["step"]), int(payload["epoch"])
 
@@ -153,7 +159,12 @@ def main(argv=None):
     train_step = jax.jit(
         make_train_step(model, tc),
         in_shardings=(
-            TrainState(params=p_shard, opt_state=None, step=None),
+            TrainState(
+                params=p_shard,
+                opt_state=None,
+                step=None,
+                ema=p_shard if state.ema is not None else None,
+            ),
             None,
             None,
         ),
@@ -278,22 +289,23 @@ def main(argv=None):
                 t_last = time.time()
                 print(f"[train] epoch {epoch} step {step} loss {meter.avg:.4f} ({dt:.2f}s/it)")
             if vis_interval and step % vis_interval == 0 and is_proc0:
-                visualize(state.params, batch, step)
+                from mvdfusion_tpu.pipeline.trainer import eval_params
+
+                visualize(eval_params(state), batch, step)
             # checkpoint/artifact ownership: process 0 only (the reference's
             # rank-0 gating, train.py:99-129). device_get of sharded params
             # all-gathers to host; fine at this model size on every host, but
             # only one may WRITE the orbax dir.
             if step % save_interval == 0 and is_proc0:
-                save_checkpoint(
-                    ckpt_dir,
-                    step,
-                    {
-                        "params": jax.device_get(state.params),
-                        "opt_state": jax.device_get(state.opt_state),
-                        "step": step,
-                        "epoch": epoch,
-                    },
-                )
+                payload = {
+                    "params": jax.device_get(state.params),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "step": step,
+                    "epoch": epoch,
+                }
+                if state.ema is not None:
+                    payload["ema"] = jax.device_get(state.ema)
+                save_checkpoint(ckpt_dir, step, payload)
                 print(f"[train] saved checkpoint @ step {step}")
             if args.max_steps and step - start_step >= args.max_steps:
                 print("[train] reached max steps")

@@ -105,6 +105,12 @@ def build_train_config(cfg: dict) -> TrainConfig:
     return TrainConfig(
         lr=float(tr.get("lr", cfg["model"].get("base_learning_rate", 1e-4))),
         grad_accum_step=int(tr.get("grad_accum_step", 1)),
+        grad_clip=float(tr.get("grad_clip", 0.0)),
+        skip_nonfinite=bool(tr.get("skip_nonfinite", False)),
+        lr_schedule=str(tr.get("lr_schedule", "constant")),
+        lr_decay_steps=int(tr.get("lr_decay_steps", 0)),
+        lr_alpha=float(tr.get("lr_alpha", 0.1)),
+        ema_decay=float(tr.get("ema_decay", 0.0)),
         finetune_projection=mp.get("finetune_projection", True),
         finetune_unet=mp.get("finetune_unet", False),
         finetune_cross_attn=mp.get("finetune_cross_attn", True),

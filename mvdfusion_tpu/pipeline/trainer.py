@@ -48,12 +48,28 @@ class TrainConfig:
     # single bad step cannot poison the weights.
     grad_clip: float = 0.0
     skip_nonfinite: bool = False
+    # Learning-rate schedule over optimizer steps: "constant" (the reference,
+    # train.py:95) or "cosine" (optax.cosine_decay_schedule over
+    # lr_decay_steps to lr*lr_alpha — the stabilizer the learning proof
+    # needed, docs/LEARNING.md). `lr` may also be given directly as an optax
+    # schedule callable, which wins over these keys.
+    lr_schedule: str = "constant"
+    lr_decay_steps: int = 0
+    lr_alpha: float = 0.1
+    # Parameter EMA for eval, OFF by default (0.0). When > 0, TrainState
+    # carries an `ema` pytree updated every step with the warmup decay
+    # min(ema_decay, (1+t)/(10+t)) so short runs track live params instead
+    # of the init. The reference has no EMA (it finetunes a pretrained
+    # init); a from-scratch run samples far more stably from the average.
+    ema_decay: float = 0.0
 
 
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # EMA of params (same tree), or None when TrainConfig.ema_decay == 0
+    ema: Any = None
 
 
 def _path_str(path) -> str:
@@ -96,9 +112,24 @@ def trainable_mask(params, tc: TrainConfig):
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def learning_rate(tc: TrainConfig):
+    """tc.lr as a scalar or optax schedule per tc.lr_schedule."""
+    if callable(tc.lr):
+        return tc.lr
+    if tc.lr_schedule == "cosine":
+        if tc.lr_decay_steps <= 0:
+            raise ValueError("lr_schedule=cosine requires lr_decay_steps > 0")
+        return optax.cosine_decay_schedule(tc.lr, tc.lr_decay_steps, alpha=tc.lr_alpha)
+    if tc.lr_schedule != "constant":
+        raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
+    return tc.lr
+
+
 def make_optimizer(params, tc: TrainConfig) -> optax.GradientTransformation:
     mask = trainable_mask(params, tc)
-    opt = optax.adamw(tc.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tc.weight_decay)
+    opt = optax.adamw(
+        learning_rate(tc), b1=0.9, b2=0.999, eps=1e-8, weight_decay=tc.weight_decay
+    )
     if tc.grad_clip:
         opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip), opt)
     # optax.masked passes UNMASKED gradients through as raw updates — today
@@ -118,7 +149,17 @@ def make_optimizer(params, tc: TrainConfig) -> optax.GradientTransformation:
 
 def init_train_state(params, tc: TrainConfig) -> TrainState:
     opt = make_optimizer(params, tc)
-    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+    # fresh EMA buffers: train steps donate the state, which would
+    # invalidate an ema that merely aliases params
+    ema = jax.tree_util.tree_map(jnp.copy, params) if tc.ema_decay > 0 else None
+    return TrainState(
+        params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32), ema=ema
+    )
+
+
+def eval_params(state: TrainState):
+    """The parameters eval should sample with: the EMA when tracked."""
+    return state.params if state.ema is None else state.ema
 
 
 def scene_batch_loss(
@@ -168,6 +209,16 @@ def make_train_step(model: ViewFusion, tc: TrainConfig):
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+        ema = state.ema
+        if tc.ema_decay > 0 and ema is not None:
+            t = state.step.astype(jnp.float32)
+            d = jnp.minimum(tc.ema_decay, (1.0 + t) / (10.0 + t))
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema, params
+            )
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1, ema=ema),
+            loss,
+        )
 
     return train_step
