@@ -206,14 +206,15 @@ def main() -> None:
         x = jnp.zeros((B, ls, ls, 5))
         t = jnp.full((B,), 500, jnp.int32)
 
-        @jax.jit
-        def one_step(p, x, carry):
+        def one_step_body(p, x, carry):
             x = x + carry * 0
             out = model.apply(
                 p, x, cams, in_lat, in_cams, clip_v, t, jax.random.PRNGKey(0),
                 jnp.asarray(2.5), method=ViewFusion.apply_model_cfg,
             )
             return jnp.sum(out.astype(jnp.float32))
+
+        one_step = jax.jit(one_step_body)
 
         c0 = one_step(params, x, jnp.zeros((), jnp.float32))
         _ = float(c0)
@@ -225,9 +226,11 @@ def main() -> None:
 
         z = jnp.zeros((B, ls, ls, 4))
 
-        @jax.jit
-        def dec_step(p, z, carry):
-            return jnp.sum(decode(p, z + carry * 0).astype(jnp.float32))
+        def dec_step_body(p, z, carry):
+            out = model.apply(p, z + carry * 0, method=ViewFusion.decode_latents)
+            return jnp.sum(out.astype(jnp.float32))
+
+        dec_step = jax.jit(dec_step_body)
 
         c1 = dec_step(params, z, jnp.zeros((), jnp.float32))
         _ = float(c1)
@@ -256,8 +259,20 @@ def main() -> None:
         try:
             os.environ["MVDF_DISABLE_PALLAS"] = "1"
             try:
-                sem_step = _flops(one_step.lower(params, x, jnp.zeros((), jnp.float32)))
-                sem_dec = _flops(dec_step.lower(params, z, jnp.zeros((), jnp.float32)))
+                # FRESH lambda wrappers: jit's trace cache is keyed on the
+                # UNDERLYING callable, so jax.jit(one_step_body) — and even
+                # re-lowering the existing one_step — silently returns the
+                # cached (Pallas) trace and reports device FLOPs as semantic
+                # (the round-3 batch-1 version did exactly that: semantic
+                # printed == device). A fresh lambda per lowering misses the
+                # cache; probe-verified (custom_calls 88 -> 0 under the env).
+                zero = jnp.zeros((), jnp.float32)
+                sem_step = _flops(
+                    jax.jit(lambda *a: one_step_body(*a)).lower(params, x, zero)
+                )
+                sem_dec = _flops(
+                    jax.jit(lambda *a: dec_step_body(*a)).lower(params, z, zero)
+                )
             finally:
                 del os.environ["MVDF_DISABLE_PALLAS"]
             sem_tfl = scenes * (sem_step * steps + sem_dec) / 1e12

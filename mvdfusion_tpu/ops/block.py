@@ -346,55 +346,76 @@ def _pi_kernel(
     ln1_ref[0] = _ln_t(h0, ln1_g_ref, ln1_b_ref)
 
 
-def _bigattn_kernel(
-    ln1_ref, h0_ref, a2_ref, qkv_k_ref, out_k_ref, out_b_ref,
-    o_ref, *, heads: int, nb: int,
-):
-    """Big-C form, kernel 2/3: qkv -> masked self-attn -> out proj -> +res
-    -> +attn2.
+def _pick_big_nb(B: int, N: int, interpret: bool):
+    """Lane packing for the big-C form: pack nb batch elements along lanes,
+    as MANY as fit a 512-lane working set — the big-C kernels' cost is
+    dominated by streaming the site's ~52 MB of weights, so the grid must
+    have as FEW batch groups as possible (B//nb weight refetches). The
+    round-2 form packed only to 128 lanes (nb = 128//N), re-streaming the
+    weights ~8x per site — measured SLOWER than XLA (2.10 vs 1.36 ms at
+    8^2); at nb=8 (512 lanes, 2 refetches) the same kernels win.
+    Returns nb, or None when the packed lanes can't hit the 128-lane tile
+    (hardware requires (nb*N) % 128 == 0; interpret mode exercises the
+    packing math at any width)."""
+    nb = max(1, min(B, 512 // max(N, 1)))
+    while nb > 1 and B % nb:
+        nb -= 1
+    if not interpret and (nb * N) % 128:
+        return None
+    return nb
 
-    The 8^2/4^2 sites have N < 128 tokens, below the lane tile — nb batch
-    elements are packed along lanes to reach 128. Unlike the small-C split
-    form (per-sub-batch LANE SLICES, which need 128-aligned offsets), the
-    per-sub-batch key set is enforced with a block-diagonal ADDITIVE BIAS on
-    the full (N, N) logits: cross-batch positions get -1e30 and fall out of
-    the softmax exactly (exp -> 0). At these shapes the masked full-width
-    logits are trivially small (128x128 fp32 per head)."""
+
+def _bigattn_stream_kernel(ln1_ref, qkv_k_ref, attn_ref, *, nb: int):
+    """Big-C form, kernel 2/4: ONE head per grid step — qkv weight rows
+    arrive head-major so Mosaic streams the next head's (3dh, C) tile
+    HBM->VMEM behind this head's compute, and the full (3C, C) qkv weights
+    never need to be VMEM-resident (16 MB more working set at C=1280).
+
+    nb batch elements are packed along lanes. Unlike the small-C split form
+    (per-sub-batch LANE SLICES, which need 128-aligned offsets), the
+    per-sub-batch key set is enforced with a block-diagonal mask on the full
+    (N, N) logits: cross-batch positions get -1e30 and fall out of the
+    softmax exactly (exp -> 0). The masked full-width logits waste MXU work
+    (only the diagonal blocks are useful) but the attention FLOPs are tiny
+    at these token counts — the weight traffic is what matters."""
     f32 = jnp.float32
-    ln1 = ln1_ref[0]
+    ln1 = ln1_ref[0]  # (C, N)
     C, N = ln1.shape
-    dh = C // heads
+    wt = qkv_k_ref[0]  # (3dh, C) this head's [Wq^T; Wk^T; Wv^T] rows
+    dh = wt.shape[0] // 3
     dt = ln1.dtype
-    npr = N // nb
-    qkv = _mm(qkv_k_ref, ln1)  # (3C, N)
+    qT = _mm(wt[0:dh], ln1)  # (dh, N)
+    kT = _mm(wt[dh : 2 * dh], ln1)
+    vT = _mm(wt[2 * dh :], ln1)
     scale = dh ** -0.5
-    bias = None
+    logits = jax.lax.dot_general(
+        qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (Nq, Nk)
     if nb > 1:
-        bias = jnp.where(
+        npr = N // nb
+        logits = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // npr
             == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // npr,
-            0.0,
+            logits,
             -1e30,
-        ).astype(f32)
-    rows = []
-    for h in range(heads):
-        qT = qkv[h * dh : (h + 1) * dh]
-        kT = qkv[C + h * dh : C + (h + 1) * dh]
-        vT = qkv[2 * C + h * dh : 2 * C + (h + 1) * dh]
-        logits = jax.lax.dot_general(
-            qT, kT, (((0,), (0,)), ((), ())), preferred_element_type=f32
-        )  # (Nq, Nk)
-        if bias is not None:
-            logits = logits + bias
-        m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp((logits - m) * scale)
-        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
-        rows.append(
-            jax.lax.dot_general(
-                vT, p, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            ).astype(dt)
         )
-    attn = jnp.concatenate(rows, axis=0)  # (C, N), lanes still sub-batch packed
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp((logits - m) * scale)
+    p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)
+    attn_ref[0] = jax.lax.dot_general(
+        vT, p, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ).astype(dt)
+
+
+def _h2_kernel(attn_ref, h0_ref, a2_ref, out_k_ref, out_b_ref, o_ref, *, nb: int):
+    """Big-C form, kernel 3/4: attn out-projection -> +res -> +attn2.
+    Separate from the attention kernel so out_k (3.3 MB at C=1280) is the
+    only resident weight here and the streamed qkv tiles are the only ones
+    there."""
+    f32 = jnp.float32
+    attn = attn_ref[0]
+    C, N = attn.shape
+    dt = attn.dtype
     h1 = h0_ref[0] + _mm(out_k_ref, attn, out_b_ref)
     a2 = a2_ref[0]
     if nb > 1 and a2.shape[-1] == nb:
@@ -516,13 +537,15 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
     # — packed lanes <= 1024 for the single-kernel form, <= 2048 for the
     # split form — with a trace-time warning, instead of compile-crashing
     # the whole model on an oversized request.
-    # big-C form (C=1280 8^2/4^2 sites): 3 kernels, masked packed attention,
-    # streamed FF. Packing to 128 lanes is REQUIRED there (N < 128), not a
-    # tuning knob; an indivisible batch falls back to the XLA path.
+    # big-C form (C=1280 8^2/4^2 sites): 4 kernels, masked packed attention
+    # with per-head weight streaming, streamed FF. Lane packing is chosen by
+    # _pick_big_nb (as many batch elements per grid step as fit 512 lanes —
+    # the weight-refetch count B//nb is the dominant cost); an unpackable
+    # shape falls back to the XLA path.
     big = C > _BIG_C_MIN
     if big:
-        nb = max(1, 128 // N) if (interpret or N < 128) else 1
-        if B % nb:
+        nb = _pick_big_nb(B, N, interpret)
+        if nb is None:
             return _xla_reference(x_in, attn2_add, w, heads)
     else:
         # NB=1 everywhere: a full-bench A/B of nb=2 at the 16^2 C=640 sites
@@ -581,12 +604,20 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
 
     if big:
         inner = inner2 // 2
-        # FF inner-dim chunk: largest lane-tile multiple <= 640 dividing
-        # inner keeps the streamed weight tiles (g1+g2+f = 6*C*ck bytes)
-        # under ~5 MB at C=1280 with 8 pipeline steps over the 5120 inner
+        # FF inner-dim chunk: largest divisor of inner whose streamed weight
+        # tiles (double-buffered g1+g2+f = 12*ck*C bytes) PLUS the resident
+        # per-group working set (h2/xin/out io tiles, l3 scratch, fp32
+        # accumulator = 12*C*N bytes) stay under ~14 MB of the 16 MB scope
+        # ck must be a lane-tile multiple: the (C, ck) f_k tile's last dim
+        # needs ck % 128 == 0 (Mosaic block rule). The big-C kernels raise
+        # the scoped-VMEM limit past the 16 MB default (v5e has 128 MB of
+        # physical VMEM): the fp32 accumulator + resident io tiles alone are
+        # ~13 MB at 512 packed lanes, measured from Mosaic's own allocation
+        # report (17.37 MB at ck=256).
+        big_vmem = pltpu.CompilerParams(vmem_limit_bytes=40 * (1 << 20))
         ck = inner
-        for cand in range(640, 0, -128):
-            if inner % cand == 0:
+        for cand in (640, 512, 384, 256, 128):
+            if inner % cand == 0 and 26 * C * N + 12 * C * cand <= 34 * (1 << 20):
                 ck = cand
                 break
         k_steps = inner // ck
@@ -599,21 +630,43 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
                 jax.ShapeDtypeStruct((B, C, N), dt),
                 jax.ShapeDtypeStruct((B, C, N), dt),
             ),
+            compiler_params=big_vmem,
             interpret=interpret,
         )(
             xinT, col(w.gn_g), col(w.gn_b), w.pi_k.astype(dt), col(w.pi_b),
             col(w.ln1_g), col(w.ln1_b),
         )
-        h2T = pl.pallas_call(
-            functools.partial(_bigattn_kernel, heads=heads, nb=nb),
-            grid=(B,),
-            in_specs=[io_spec, io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))]
-            + [const()] * 3,
-            out_specs=io_spec,
+        # head-major qkv rows so one grid step's weight tile is contiguous
+        # (a loop-invariant reorder of a parameter: hoisted out of the
+        # sampler's scan by XLA, unlike activation-path work)
+        dh = C // heads
+        qkv_hm = (
+            w.qkv_k.astype(dt).reshape(3, heads, dh, C).transpose(1, 0, 2, 3)
+            .reshape(heads, 3 * dh, C)
+        )
+        attnT = pl.pallas_call(
+            functools.partial(_bigattn_stream_kernel, nb=nb),
+            grid=(B, heads),
+            in_specs=[
+                vm((1, C, N), lambda b, h: (b, 0, 0)),
+                vm((1, 3 * dh, C), lambda b, h: (h, 0, 0)),
+            ],
+            out_specs=vm((1, dh, N), lambda b, h: (b, h, 0)),
             out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
             cost_estimate=cost,
+            compiler_params=big_vmem,
             interpret=interpret,
-        )(ln1T, h0T, a2T, w.qkv_k.astype(dt), w.out_k.astype(dt), col(w.out_b))
+        )(ln1T, qkv_hm)
+        h2T = pl.pallas_call(
+            functools.partial(_h2_kernel, nb=nb),
+            grid=(B,),
+            in_specs=[io_spec, io_spec, vm((1, C, Na2), lambda b: (b, 0, 0))]
+            + [const()] * 2,
+            out_specs=io_spec,
+            out_shape=jax.ShapeDtypeStruct((B, C, N), dt),
+            compiler_params=big_vmem,
+            interpret=interpret,
+        )(attnT, h0T, a2T, w.out_k.astype(dt), col(w.out_b))
         io2 = lambda: vm((1, C, N), lambda b, k: (b, 0, 0))
         row_w = vm((ck, C), lambda b, k: (k, 0))
         row_b = vm((ck, 1), lambda b, k: (k, 0))
@@ -629,6 +682,7 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
                 pltpu.VMEM((C, N), dt),
                 pltpu.VMEM((C, N), jnp.float32),
             ],
+            compiler_params=big_vmem,
             interpret=interpret,
         )(
             h2T, xinT, col(w.ln3_g), col(w.ln3_b),
@@ -733,7 +787,10 @@ def should_fuse_block(C: int, N: int, heads: int) -> bool:
         # groundwork for a one-pass-weights decomposition.
         if not _os.environ.get("MVDF_BLOCK_BIGC"):
             return False
-        return C <= 1280 and N <= 128 and (128 % N == 0)
+        # N >= 64: the 4^2 middle (N=16) loses to XLA in every measured form
+        # (4 kernel launches + per-head streaming over 256 lanes of work).
+        # N up to 256 covers the 512^2-stretch's C=1280 sites at 16^2.
+        return C <= 1280 and 64 <= N <= 256 and (N % 64 == 0)
     if N % 128:
         return False
     # measured VMEM envelopes on v5e: single kernel (C=320, N=1024) ~15 MB;

@@ -230,10 +230,20 @@ def _gn_fwd_impl(
 
 
 def should_fuse_gn(shape, groups: int) -> bool:
-    """Kernel applicability: TPU, group-divisible C, and either the whole
-    (HW, C) slice fits VMEM (single-kernel form) or a row tile divides HW
-    (tiled two-pass form — the VAE towers at 64^2..256^2).
-    MVDF_DISABLE_PALLAS=1 forces the XLA path (see ops/attention.should_fuse)."""
+    """Kernel applicability: TPU, group-divisible C, and the whole (HW, C)
+    slice fits VMEM (single-kernel form — the UNet slices, a measured win).
+
+    The tiled two-pass form for bigger maps (the VAE towers at 64^2..256^2)
+    is a measured NET LOSS end-to-end and is gated OFF by default: the GN
+    custom-calls pin flat descending layouts on the activation path, and XLA
+    then lowers the neighboring 3x3 convs through a transposed input read
+    (plus an explicit relayout copy on the output side). On v5e the full
+    8-view 256^2 VAE decode measures 40.9 ms all-XLA vs 46.9 ms with the
+    tiled GN kernels — the standalone GN win (~2x on the statistics) is
+    smaller than the ~2.5x conv slowdown it induces at Cin=128/256^2
+    (tools/conv_microbench.py standalone convs: 216-259 TFLOP/s vs 35-45%
+    of that in-graph next to the custom-calls). MVDF_GN_TILED=1 re-enables
+    it for A/B. MVDF_DISABLE_PALLAS=1 forces the XLA path everywhere."""
     import os
 
     if jax.default_backend() != "tpu" or os.environ.get("MVDF_DISABLE_PALLAS"):
@@ -244,4 +254,6 @@ def should_fuse_gn(shape, groups: int) -> bool:
     C = shape[-1]
     if C % groups:
         return False
-    return n * C <= _MAX_SLICE_ELEMS or _pick_tile(n, C) is not None
+    if n * C <= _MAX_SLICE_ELEMS:
+        return True
+    return bool(os.environ.get("MVDF_GN_TILED")) and _pick_tile(n, C) is not None

@@ -189,12 +189,13 @@ def test_big_c_form_view_aligned(rng, monkeypatch):
     np.testing.assert_allclose(out, ref, atol=3e-4)
 
 
-def test_big_c_indivisible_batch_falls_back(rng, monkeypatch):
-    """B not divisible by the forced packing -> XLA fallback, same result."""
+def test_big_c_odd_batch_still_packs(rng, monkeypatch):
+    """An odd B packs to a smaller divisor (nb=3 at B=3) instead of falling
+    back — parity must hold through the non-power-of-two packing."""
     import mvdfusion_tpu.ops.block as blk
 
     monkeypatch.setattr(blk, "_BIG_C_MIN", 16)
-    B, H, W, C, heads = 3, 4, 4, 32, 4  # nb would be 8; 3 % 8 != 0
+    B, H, W, C, heads = 3, 4, 4, 32, 4
     x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
     ctx = jnp.asarray(rng.normal(size=(B, 1, 48)), jnp.float32)
     ref_mod = SpatialTransformer(heads, C // heads, fuse_mode="never")
@@ -203,3 +204,18 @@ def test_big_c_indivisible_batch_falls_back(rng, monkeypatch):
     ref = np.asarray(ref_mod.apply(params, x, ctx))
     out = np.asarray(fus_mod.apply(params, x, ctx))
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_pick_big_nb():
+    """Lane packing for the big-C form: as many batch elements as fit 512
+    lanes (weight-refetch count B//nb is the dominant cost), stepped down to
+    a divisor of B; on hardware the packed lanes must hit the 128 tile."""
+    from mvdfusion_tpu.ops.block import _pick_big_nb
+
+    assert _pick_big_nb(16, 64, False) == 8     # flagship 8^2: 512 lanes, 2 groups
+    assert _pick_big_nb(16, 16, False) == 16    # 4^2 middle: 256 lanes, 1 group
+    assert _pick_big_nb(16, 256, False) == 2    # stretch 16^2: 512 lanes
+    assert _pick_big_nb(12, 64, False) == 6     # stepped to a divisor, 384 lanes
+    assert _pick_big_nb(1, 64, False) is None   # 64 lanes: no 128 tile -> XLA
+    assert _pick_big_nb(1, 64, True) == 1       # interpret: any width
+    assert _pick_big_nb(3, 16, True) == 3       # odd B packs in interpret

@@ -93,3 +93,20 @@ def test_pick_tile():
     t = _pick_tile(16384, 256)
     assert t is not None and 16384 % t == 0 and t * 256 <= _TILE_ELEMS
     assert _pick_tile(3, 99999999) is None  # nothing divides -> XLA fallback
+
+
+def test_should_fuse_gn_gate_excludes_tiled_by_default(monkeypatch):
+    """The tiled form is a measured net loss end-to-end (the GN custom-calls
+    force relayouts around the VAE's 3x3 convs — ops/groupnorm.py gate
+    docstring); it must be opt-in via MVDF_GN_TILED, while the VMEM-resident
+    single-slice form stays on. CPU backend always gates off, so assert
+    through the size logic with the backend check monkeypatched away."""
+    import mvdfusion_tpu.ops.groupnorm as gn
+
+    monkeypatch.setattr(gn.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("MVDF_GN_TILED", raising=False)
+    monkeypatch.delenv("MVDF_DISABLE_PALLAS", raising=False)
+    assert gn.should_fuse_gn((16, 32, 32, 320), 32)       # UNet slice: on
+    assert not gn.should_fuse_gn((8, 256, 256, 128), 32)  # VAE 256^2: off
+    monkeypatch.setenv("MVDF_GN_TILED", "1")
+    assert gn.should_fuse_gn((8, 256, 256, 128), 32)      # opt-in A/B
