@@ -26,21 +26,64 @@ from mvdfusion_tpu.ops.image import nearest_upsample2x
 
 
 class VAEResnetBlock(nn.Module):
-    """model.py:82-143 (temb_channels=0 path)."""
+    """model.py:82-143 (temb_channels=0 path).
+
+    A fused GN+SiLU+conv3x3 halo-DMA kernel path exists behind
+    `MVDF_CONV3X3=1` (ops/conv3x3.py) but is OFF by default: measured net
+    loss vs the plain XLA chain at every decoder shape once the tiled-GN
+    custom-calls stopped pinning layouts (tools/conv3x3_tune.py: weighted
+    decode convs 36.0 ms XLA vs 53.3 ms fused)."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from mvdfusion_tpu.ops.conv3x3 import (
+            gn_fold_affine, gn_silu_conv3x3, should_fuse_conv3x3,
+        )
+
         in_ch = x.shape[-1]
-        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(epsilon=1e-6, act="silu", name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
-        if in_ch != self.out_channels:
-            x = nn.Dense(self.out_channels, dtype=self.dtype, name="nin_shortcut")(x)
-        return x + h
+        norm1 = GroupNorm32(epsilon=1e-6, act="silu", name="norm1")
+        conv1 = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")
+        norm2 = GroupNorm32(epsilon=1e-6, act="silu", name="norm2")
+        conv2 = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")
+        nin = (
+            nn.Dense(self.out_channels, dtype=self.dtype, name="nin_shortcut")
+            if in_ch != self.out_channels
+            else None
+        )
+        B, H, W, _ = x.shape
+        fused = (
+            not self.is_initializing()
+            and should_fuse_conv3x3(x.shape)
+            and should_fuse_conv3x3((B, H, W, self.out_channels))
+        )
+        if not fused:
+            h = norm1(x)
+            h = conv1(h)
+            h = norm2(h)
+            h = conv2(h)
+            return (nin(x) if nin is not None else x) + h
+
+        dt = self.dtype
+        zrow = jnp.zeros((B, self.out_channels), jnp.float32)
+
+        def gn_ab(norm, h):
+            v = norm.variables["params"]["GroupNorm_0"]
+            return gn_fold_affine(h.reshape(B, H * W, -1), v["scale"], v["bias"], 32, 1e-6)
+
+        cv = lambda c: (
+            c.variables["params"]["kernel"].astype(dt),
+            c.variables["params"]["bias"],
+        )
+        a1, b1 = gn_ab(norm1, x)
+        w1, c1b = cv(conv1)
+        h = gn_silu_conv3x3(x.astype(dt), a1, b1, w1, c1b, zrow, None)
+        a2, b2 = gn_ab(norm2, h)
+        w2, c2b = cv(conv2)
+        res = nin(x) if nin is not None else x.astype(dt)
+        return gn_silu_conv3x3(h, a2, b2, w2, c2b, zrow, res)
 
 
 class VAEAttnBlock(nn.Module):
