@@ -21,6 +21,16 @@ needs the WHOLE image's moments before its first output token; the affine
 fold (a = rstd*scale, b = bias - mu*a) turns normalize+scale+shift into one
 fused multiply-add inside the conv kernel.
 
+Round-3 addendum: also measured at the UNet up-path ResBlock shapes
+(B=16 CFG batch, 32^2/16^2 maps, the step_trace's worst conv outliers) via
+`tools/conv3x3_tune.py --unet`: weighted 0.96x vs the XLA chain (win only
+at (16,16,16,640,640): 1.40x; loss at (16,16,1280,640): 0.73x) — and the
+XLA chain runs at 160-280 TFLOP/s STANDALONE at these shapes, i.e. the
+in-graph "emitter excess" seen by step_trace is layout context around the
+conv, not the conv op itself, so no conv kernel can recover it. Also: the
+channel-dim VMEM slicing requires Cin % 128 == 0, which excludes the
+960- and 320-Cin up-path convs outright (Mosaic tiling-alignment error).
+
 Semantics fused (reference): VAE ResnetBlock model.py:82-143 (GroupNorm32
 eps 1e-6 + swish + conv) and the OpenAI-UNet ResBlock
 openaimodel.py:163-276 (GroupNorm32 eps 1e-5 + SiLU + conv, + temb row).

@@ -8,7 +8,11 @@ Run on the TPU:  python tools/conv3x3_tune.py
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +30,21 @@ SHAPES = [
     (8, 256, 256, 256, 256, 1),
     (8, 256, 256, 256, 128, 1),
     (8, 256, 256, 128, 128, 5),
+]
+
+# UNet ResBlock convs in the CFG denoising step (B = 2*8 views), where the
+# step_trace shows the up-path modules 1.5-2.3x above their conv rooflines
+# (up_0_res_0 1.14 ms vs ~0.5). K = 9*Cin is large here (5760-8640), the
+# whole tile + taps fit VMEM — the regime where the halo kernel should win.
+UNET_SHAPES = [
+    # NOTE: the kernel's channel-dim VMEM slicing requires Cin % 128 == 0
+    # (Mosaic "slice along dim 2 must be aligned to tiling (128)"), so the
+    # 960- and 320-Cin up-path convs can't use it at all; only the aligned
+    # shapes are listed. should_fuse_conv3x3 already rejects C % 128 != 0.
+    (16, 32, 32, 640, 320, 2),
+    (16, 16, 16, 1920, 640, 1),
+    (16, 16, 16, 1280, 640, 2),
+    (16, 16, 16, 640, 640, 3),
 ]
 
 ITERS = 50
@@ -49,11 +68,12 @@ def timed_scan(body, x, extra):
 
 
 def main():
+    shapes = UNET_SHAPES if "--unet" in sys.argv else SHAPES
     dt = jnp.bfloat16
     print(f"device={jax.devices()[0].device_kind} iters={ITERS}")
     print(f"{'shape':>26} {'chain':>9} {'fused':>9}   TFLOP/s (chain/fused)  speedup")
     tot_chain = tot_fused = 0.0
-    for B, H, W, Cin, Cout, count in SHAPES:
+    for B, H, W, Cin, Cout, count in shapes:
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((B, H, W, Cin)) * 0.5, dt)
         w = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.02, dt)
