@@ -9,7 +9,12 @@ HW=1024, hid=256, L=3 DiT layers) across TN values.
 
 Timing: chained lax.scan protocol (axon async), null-subtracted.
 
-Run:  python tools/crossview_tune.py
+Run:  python tools/crossview_tune.py [TN ...]
+
+Measured on v5e (round 3): TN=64 3.62 ms, TN=128 4.00 ms, TN=256 3.68 ms,
+TN=512 OOMs the 16 MB scoped VMEM (31.98M) — the shipped default TN=64 is
+the measured optimum; block size is NOT the crossview kernel's remaining
+headroom (the V=8 attention scaffolding is, ARCHITECTURE.md §5b).
 """
 
 from __future__ import annotations
@@ -21,6 +26,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,7 +88,8 @@ def main():
 
     t_null = timed(lambda b: b[:1, :1] * 2.0)
     print(f"device={jax.devices()[0].device_kind} N={N} V={V} hid={hid} null={t_null*1e6:.0f}u")
-    for tn in (32, 64, 128, 256, 512):
+    tns = tuple(int(a) for a in sys.argv[1:]) or (32, 64, 128, 256)
+    for tn in tns:
         t = timed(
             lambda b, tn=tn: _crossview_fwd_impl(
                 xy, pts, centers, mask, b, maps_p, kgeo, w, heads,
