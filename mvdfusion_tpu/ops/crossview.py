@@ -202,7 +202,21 @@ def _dit_pool(
     (TN*V, V*heads) — w-major lanes — so the softmax runs at 64/128 lane
     occupancy instead of the heads-minor (TN,V,V,8) form's 8/128, and the
     softmax-over-w group structure is one group-sum matmul.
+
+    MVDF_CV_DIT=merged selects an A/B variant that attacks the baseline's
+    one structural cost: the segment dots are the kernel's only f32 x f32
+    matmuls (the MXU runs f32 at a fraction of its bf16 rate). The variant
+    (a) fuses each side's V per-source-view segment dots into ONE wide dot
+    (logits: (TN·V, V·hid) @ (V·hid, VH); expand: (TN·V, VH) @ (VH, V·hid)
+    then V hid-aligned lane slices), and (b) runs them as bf16 hi/lo split
+    pairs — x = hi + lo with hi = bf16(x), lo = bf16(x - hi); against a
+    0/1 segment matrix, dot(hi)+dot(lo) in f32 accumulation reproduces the
+    f32 dot to ~2^-17 relative, far inside the kernel's parity tolerance —
+    so the MXU does 4 bf16 passes per layer instead of 2V f32 ones.
     """
+    import os as _os
+
+    merged = _os.environ.get("MVDF_CV_DIT") == "merged"
     TN, _, hid = x.shape
     dh = hid // heads
     f32 = jnp.float32
@@ -238,10 +252,25 @@ def _dit_pool(
         k3 = k.reshape(TN, V, hid)
         v3 = vv.reshape(TN, V, hid)
         # packed logits L[tv, w*heads+h] = sum_d q[t,v,d] k[t,w,d] seg[d,h]
-        L = jnp.zeros((TN * V, VH), f32)
-        for w_i in range(V):
-            prod_w = (q3 * k3[:, w_i : w_i + 1, :]).reshape(TN * V, hid)
-            L = L + jnp.dot(prod_w, seg_w[w_i], preferred_element_type=f32)
+        if merged:
+            prod_all = jnp.concatenate(
+                [
+                    (q3 * k3[:, w_i : w_i + 1, :]).reshape(TN * V, hid)
+                    for w_i in range(V)
+                ],
+                axis=1,
+            )  # (TN*V, V*hid), w-major hid blocks
+            seg_all = jnp.concatenate(seg_w, axis=0).astype(jnp.bfloat16)
+            hi = prod_all.astype(jnp.bfloat16)
+            lo = (prod_all - hi.astype(f32)).astype(jnp.bfloat16)
+            L = jnp.dot(hi, seg_all, preferred_element_type=f32) + jnp.dot(
+                lo, seg_all, preferred_element_type=f32
+            )
+        else:
+            L = jnp.zeros((TN * V, VH), f32)
+            for w_i in range(V):
+                prod_w = (q3 * k3[:, w_i : w_i + 1, :]).reshape(TN * V, hid)
+                L = L + jnp.dot(prod_w, seg_w[w_i], preferred_element_type=f32)
         # softmax over w within each head's stride-heads lane group; the
         # shift uses the full-row max (constant per group -> identical math
         # in exact arithmetic). Underflow guard: if one head's logits sit
@@ -251,10 +280,24 @@ def _dit_pool(
         M = jnp.max(L, axis=1, keepdims=True)
         E = jnp.exp(L - M)
         P = E / jnp.maximum(jnp.dot(E, G, preferred_element_type=f32), 1e-30)
-        attn = jnp.zeros((TN, V, hid), f32)
-        for w_i in range(V):
-            p_exp = jnp.dot(P, segT_w[w_i], preferred_element_type=f32)  # (TN*V, hid)
-            attn = attn + p_exp.reshape(TN, V, hid) * v3[:, w_i : w_i + 1, :]
+        if merged:
+            # one expansion dot: A[:, w*hid:(w+1)*hid] == P @ segT_w[w].
+            # P in [0,1]; hi/lo split keeps the f32-dot numerics (see above)
+            segT_all = jnp.concatenate(segT_w, axis=1).astype(jnp.bfloat16)
+            Phi = P.astype(jnp.bfloat16)
+            Plo = (P - Phi.astype(f32)).astype(jnp.bfloat16)
+            A = jnp.dot(Phi, segT_all, preferred_element_type=f32) + jnp.dot(
+                Plo, segT_all, preferred_element_type=f32
+            )  # (TN*V, V*hid)
+            attn = jnp.zeros((TN, V, hid), f32)
+            for w_i in range(V):
+                a_w = jax.lax.slice_in_dim(A, w_i * hid, (w_i + 1) * hid, axis=1)
+                attn = attn + a_w.reshape(TN, V, hid) * v3[:, w_i : w_i + 1, :]
+        else:
+            attn = jnp.zeros((TN, V, hid), f32)
+            for w_i in range(V):
+                p_exp = jnp.dot(P, segT_w[w_i], preferred_element_type=f32)  # (TN*V, hid)
+                attn = attn + p_exp.reshape(TN, V, hid) * v3[:, w_i : w_i + 1, :]
         attn = attn.reshape(TN * V, hid)
         attn = (
             jnp.dot(attn.astype(dt), proj_k_ref[l], preferred_element_type=f32)

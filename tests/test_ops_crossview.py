@@ -83,6 +83,31 @@ def test_crossview_two_phase_matches_xla_path(rng, monkeypatch, V, H, D):
     np.testing.assert_allclose(out, ref, atol=1e-3)
 
 
+def test_crossview_merged_dit_variant_matches_xla(rng, monkeypatch):
+    """MVDF_CV_DIT=merged (single wide bf16-hi/lo segment dots per layer,
+    ops/crossview._dit_pool) must reproduce the XLA path as tightly as the
+    baseline form — the hi/lo split is exact to ~2^-17 relative."""
+    monkeypatch.setenv("MVDF_CV_DIT", "merged")
+    V, H, D = 4, 8, 1
+    hidden, heads, layers, out_dim = 32, 4, 2, 48
+    kw = dict(
+        input_size=H, in_channels=5, hidden_size=hidden, output_dim=out_dim,
+        num_heads=heads, num_layers=layers, n_pts_per_ray=D,
+    )
+    xla_mod = GridAttn(crossview_kernel="never", **kw)
+    ker_mod = GridAttn(crossview_kernel="interpret", **kw)
+    i = _inputs(rng, V, H, D, hidden)
+    args = (
+        i["noisy"], i["cams"], i["mask"], i["t_embed"], i["t"], i["sched"],
+        i["in_lat"], i["in_cams"], jax.random.PRNGKey(1),
+    )
+    params = xla_mod.init(jax.random.PRNGKey(0), *args, jitter_noise=i["jitter"])
+    ref = np.asarray(xla_mod.apply(params, *args, jitter_noise=i["jitter"]))
+    out = np.asarray(ker_mod.apply(params, *args, jitter_noise=i["jitter"]))
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+    assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()
+
+
 def test_crossview_kernel_grads_match_xla(rng):
     """The custom VJP (rematerialized XLA twin) must produce the same
     gradients as differentiating the XLA path directly."""
