@@ -32,6 +32,24 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def _setup_compile_cache() -> None:
+    """Persistent XLA compile cache (same setup as bench.py): the cold
+    remote-compiles on this box run minutes per program; warm cache turns
+    re-runs and config tweaks into seconds of deserialization."""
+    import jax
+
+    if os.environ.get("MVDF_NO_COMPILE_CACHE"):
+        return
+    try:
+        cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # pragma: no cover
+        _log(f"[overfit] compile cache unavailable: {e}")
+
 # views never used for training (neither input nor target): genuinely novel
 # poses at eval time
 HELDOUT_VIEWS = (3, 11)
@@ -340,6 +358,7 @@ def save_artifacts(eval_views, results, losses, out_dir: str, tag: str):
 def run(args: OverfitArgs, eval_only: bool = False) -> dict:
     import jax
 
+    _setup_compile_cache()
     _log(f"[overfit] devices: {jax.devices()}")
     ds, batch = build_dataset(args)
     model, cfg = build_model(args)
