@@ -253,3 +253,84 @@ class Mlp(nn.Module):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = self.act(x)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class UpsampleConv(nn.Module):
+    """3x3 conv of a nearest-2x-upsampled input, computed exactly at LOW
+    resolution as 4 phase-folded 2x2 convs.
+
+    The reference's Upsample (openaimodel.py:91-132, diffusionmodules/
+    model.py Upsample) materializes the 2x-duplicated map and convolves it:
+    every 3x3 window then sees each low-res pixel 1-4 times, so the conv is
+    algebraically a 2x2 conv per output PHASE (output row 2r+p, col 2c+q)
+    with row/col-folded taps:
+
+        row-even (p=0): taps x[r-1], x[r]   with [W0, W1+W2]
+        row-odd  (p=1): taps x[r],   x[r+1] with [W0+W1, W2]
+
+    (same fold on columns), i.e. 16 MACs per low-res pixel instead of 36 —
+    2.25x fewer FLOPs, no 4x upsampled intermediate, bit-equal math up to
+    one f32 add reassociation (W1+W2 pre-summed). Zero padding of the
+    original conv maps to pad (1-p, p) x (1-q, q) per phase.
+
+    Parameter tree ('kernel' (3,3,Cin,Cout) + 'bias') and init RNG draws
+    are identical to nn.Conv(out_channels, (3,3)), so checkpoints and the
+    torch converter are unaffected. MVDF_UPSAMPLE_FOLD=0 selects the naive
+    upsample-then-conv path for A/B.
+    """
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        from mvdfusion_tpu.ops.image import nearest_upsample2x
+
+        Cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, Cin, self.out_channels)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        if os.environ.get("MVDF_UPSAMPLE_FOLD", "1") == "0":
+            y, k, b = nn.dtypes.promote_dtype(
+                nearest_upsample2x(x), kernel, bias, dtype=self.dtype
+            )
+            y = jax.lax.conv_general_dilated(
+                y, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + b
+
+        # fold in the param dtype (f32) before the compute-dtype cast
+        k = kernel
+        r0 = jnp.stack([k[0], k[1] + k[2]], axis=0)  # (2,3,Cin,Cout) row-even
+        r1 = jnp.stack([k[0] + k[1], k[2]], axis=0)  # row-odd
+
+        def foldc(kr):
+            return (
+                jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1),
+                jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1),
+            )
+
+        k00, k01 = foldc(r0)
+        k10, k11 = foldc(r1)
+        x, k00, k01, k10, k11, b = nn.dtypes.promote_dtype(
+            x, k00, k01, k10, k11, bias, dtype=self.dtype
+        )
+
+        def phase(kpq, p, q):
+            return jax.lax.conv_general_dilated(
+                x, kpq, (1, 1), ((1 - p, p), (1 - q, q)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        B, H, W, _ = x.shape
+        Co = self.out_channels
+        t = jnp.stack(
+            [phase(k00, 0, 0), phase(k01, 0, 1), phase(k10, 1, 0), phase(k11, 1, 1)],
+            axis=3,
+        )  # (B, H, W, [pq], Co)
+        t = t.reshape(B, H, W, 2, 2, Co).transpose(0, 1, 3, 2, 4, 5)
+        return t.reshape(B, 2 * H, 2 * W, Co) + b

@@ -361,14 +361,17 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """openaimodel.py:91-132: nearest 2x + 3x3 conv."""
+    """openaimodel.py:91-132: nearest 2x + 3x3 conv — computed exactly at
+    low resolution via phase-folded 2x2 convs (layers.UpsampleConv)."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv")(nearest_upsample2x(x))
+        from mvdfusion_tpu.nn.layers import UpsampleConv
+
+        return UpsampleConv(self.out_channels, dtype=self.dtype, name="conv")(x)
 
 
 def volume_pyramid(volume: jnp.ndarray, num_levels: int) -> list[jnp.ndarray]:

@@ -121,7 +121,9 @@ class VAEUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(x.shape[-1], (3, 3), dtype=self.dtype, name="conv")(nearest_upsample2x(x))
+        from mvdfusion_tpu.nn.layers import UpsampleConv
+
+        return UpsampleConv(x.shape[-1], dtype=self.dtype, name="conv")(x)
 
 
 class Encoder(nn.Module):

@@ -203,9 +203,15 @@ def _dit_pool(
     occupancy instead of the heads-minor (TN,V,V,8) form's 8/128, and the
     softmax-over-w group structure is one group-sum matmul.
 
-    MVDF_CV_DIT=merged selects an A/B variant that attacks the baseline's
-    one structural cost: the segment dots are the kernel's only f32 x f32
-    matmuls (the MXU runs f32 at a fraction of its bf16 rate). The variant
+    MVDF_CV_DIT selects A/B variants that attack the baseline's one
+    structural cost: the segment dots are the kernel's only f32 x f32
+    matmuls (the MXU runs f32 at a fraction of its bf16 rate). BOTH
+    variants measured SLOWER on v5e at the flagship shape (crossview_tune,
+    TN=64, null-subtracted): baseline 3.72 ms, merged 4.65 ms, hilo
+    4.78 ms — i.e. the kernel is VPU/layout-bound, not f32-MXU-bound; the
+    elementwise q*k products and cast traffic around the segment dots cost
+    more than the f32 passes they feed. Kept env-gated as the measured
+    record. "merged": the variant
     (a) fuses each side's V per-source-view segment dots into ONE wide dot
     (logits: (TN·V, V·hid) @ (V·hid, VH); expand: (TN·V, VH) @ (VH, V·hid)
     then V hid-aligned lane slices), and (b) runs them as bf16 hi/lo split
@@ -213,10 +219,20 @@ def _dit_pool(
     0/1 segment matrix, dot(hi)+dot(lo) in f32 accumulation reproduces the
     f32 dot to ~2^-17 relative, far inside the kernel's parity tolerance —
     so the MXU does 4 bf16 passes per layer instead of 2V f32 ones.
+    "hilo": the same bf16 hi/lo exactness trick applied to the baseline's
+    narrow per-source-view dots, without the wide-concat restructure.
     """
     import os as _os
 
-    merged = _os.environ.get("MVDF_CV_DIT") == "merged"
+    _mode = _os.environ.get("MVDF_CV_DIT", "")
+    merged = _mode == "merged"
+    # "hilo": keep the baseline's narrow per-source-view segment dots (the
+    # merged wide-dot restructure measured SLOWER on v5e: 4.65 vs 3.72 ms
+    # standalone — the (TN*V, V*hid) concat materialization costs more VPU
+    # time than the f32 MXU passes it removes) but run each dot as an exact
+    # bf16 hi/lo split pair, turning the kernel's only f32 x f32 matmuls
+    # into bf16 ones without the wide-concat overhead.
+    hilo = _mode == "hilo"
     TN, _, hid = x.shape
     dh = hid // heads
     f32 = jnp.float32
@@ -266,6 +282,18 @@ def _dit_pool(
             L = jnp.dot(hi, seg_all, preferred_element_type=f32) + jnp.dot(
                 lo, seg_all, preferred_element_type=f32
             )
+        elif hilo:
+            # exact: prod = hi + lo with hi = bf16(prod); against a 0/1
+            # segment matrix, dot(hi) + dot(lo) in f32 accumulation
+            # reproduces the f32 dot to ~2^-17 relative.
+            L = jnp.zeros((TN * V, VH), f32)
+            for w_i in range(V):
+                prod_w = (q3 * k3[:, w_i : w_i + 1, :]).reshape(TN * V, hid)
+                p_hi = prod_w.astype(jnp.bfloat16)
+                p_lo = (prod_w - p_hi.astype(f32)).astype(jnp.bfloat16)
+                s_bf = seg_w[w_i].astype(jnp.bfloat16)
+                L = L + jnp.dot(p_hi, s_bf, preferred_element_type=f32)
+                L = L + jnp.dot(p_lo, s_bf, preferred_element_type=f32)
         else:
             L = jnp.zeros((TN * V, VH), f32)
             for w_i in range(V):
@@ -293,6 +321,17 @@ def _dit_pool(
             for w_i in range(V):
                 a_w = jax.lax.slice_in_dim(A, w_i * hid, (w_i + 1) * hid, axis=1)
                 attn = attn + a_w.reshape(TN, V, hid) * v3[:, w_i : w_i + 1, :]
+        elif hilo:
+            # P in [0,1]; same hi/lo exactness argument as the logits
+            Phi = P.astype(jnp.bfloat16)
+            Plo = (P - Phi.astype(f32)).astype(jnp.bfloat16)
+            attn = jnp.zeros((TN, V, hid), f32)
+            for w_i in range(V):
+                sT_bf = segT_w[w_i].astype(jnp.bfloat16)
+                p_exp = jnp.dot(Phi, sT_bf, preferred_element_type=f32) + jnp.dot(
+                    Plo, sT_bf, preferred_element_type=f32
+                )  # (TN*V, hid)
+                attn = attn + p_exp.reshape(TN, V, hid) * v3[:, w_i : w_i + 1, :]
         else:
             attn = jnp.zeros((TN, V, hid), f32)
             for w_i in range(V):

@@ -163,3 +163,45 @@ def test_split_skip_resblock_matches_concat(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(split), np.asarray(concat), rtol=2e-5, atol=2e-5
         )
+
+
+def test_folded_upsample_conv_matches_naive(monkeypatch):
+    """layers.UpsampleConv: the 4 phase-folded 2x2 convs at low resolution
+    must equal conv3x3(nearest_upsample2x(x)) exactly (up to one f32 add
+    reassociation), including at odd spatial sizes, and its param tree/init
+    must be bit-identical to the nn.Conv it replaced (checkpoint compat,
+    unet.py Upsample / vae.py VAEUpsample)."""
+    import flax.linen as nn
+
+    from mvdfusion_tpu.nn.layers import UpsampleConv
+    from mvdfusion_tpu.ops.image import nearest_upsample2x
+
+    rng = np.random.default_rng(0)
+    for B, H, W, Cin, Co in [(2, 5, 7, 6, 10), (1, 8, 8, 4, 4)]:
+        x = jnp.asarray(rng.standard_normal((B, H, W, Cin)), jnp.float32)
+
+        class WrapNew(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return UpsampleConv(Co, name="conv")(x)
+
+        class WrapOld(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Conv(Co, (3, 3), name="conv")(nearest_upsample2x(x))
+
+        params = WrapNew().init(jax.random.PRNGKey(3), x)
+        monkeypatch.setenv("MVDF_UPSAMPLE_FOLD", "0")
+        naive = WrapNew().apply(params, x)
+        monkeypatch.delenv("MVDF_UPSAMPLE_FOLD")
+        folded = WrapNew().apply(params, x)
+        ref = WrapOld().apply(params, x)
+        assert folded.shape == (B, 2 * H, 2 * W, Co)
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(naive), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(ref), atol=1e-5)
+        # init parity: same param names, shapes, and RNG draws as nn.Conv
+        p2 = WrapOld().init(jax.random.PRNGKey(3), x)
+        for k in ("kernel", "bias"):
+            a, b = params["params"]["conv"][k], p2["params"]["conv"][k]
+            assert a.shape == b.shape
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -83,11 +83,14 @@ def test_crossview_two_phase_matches_xla_path(rng, monkeypatch, V, H, D):
     np.testing.assert_allclose(out, ref, atol=1e-3)
 
 
-def test_crossview_merged_dit_variant_matches_xla(rng, monkeypatch):
-    """MVDF_CV_DIT=merged (single wide bf16-hi/lo segment dots per layer,
-    ops/crossview._dit_pool) must reproduce the XLA path as tightly as the
-    baseline form — the hi/lo split is exact to ~2^-17 relative."""
-    monkeypatch.setenv("MVDF_CV_DIT", "merged")
+@pytest.mark.parametrize("mode", ["merged", "hilo"])
+def test_crossview_dit_variant_matches_xla(rng, monkeypatch, mode):
+    """MVDF_CV_DIT variants ("merged": single wide bf16-hi/lo segment dots
+    per layer; "hilo": the baseline's narrow per-view segment dots as bf16
+    hi/lo pairs — ops/crossview._dit_pool) must reproduce the XLA path as
+    tightly as the baseline form — the hi/lo split is exact to ~2^-17
+    relative."""
+    monkeypatch.setenv("MVDF_CV_DIT", mode)
     V, H, D = 4, 8, 1
     hidden, heads, layers, out_dim = 32, 4, 2, 48
     kw = dict(
