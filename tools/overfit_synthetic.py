@@ -149,7 +149,14 @@ def pretrain_vae(model, params, batch, args: OverfitArgs):
         ),
         params,
     )
-    opt = optax.masked(optax.adam(args.vae_lr), mask)
+    # cosine-decayed lr + global-norm clip: at 2x width ("small") a flat
+    # 2e-3 adam spiked on the LAST pretrain step (mse 2.4e-4 -> 8.6e-3),
+    # poisoning the VAE every downstream stage builds on — same failure
+    # mode the diffusion stage's rails already guard (docs/LEARNING.md).
+    sched = optax.cosine_decay_schedule(args.vae_lr, max(args.vae_steps, 1), alpha=0.05)
+    opt = optax.masked(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched)), mask
+    )
     opt_state = opt.init(params)
 
     @jax.jit
