@@ -276,7 +276,9 @@ class UpsampleConv(nn.Module):
     Parameter tree ('kernel' (3,3,Cin,Cout) + 'bias') and init RNG draws
     are identical to nn.Conv(out_channels, (3,3)), so checkpoints and the
     torch converter are unaffected. MVDF_UPSAMPLE_FOLD=0 selects the naive
-    upsample-then-conv path for A/B.
+    upsample-then-conv path for A/B. Like every MVDF_* gate, the env var is
+    read at TRACE time: a jitted apply captures the value at first compile,
+    and later toggles have no effect until retrace (repo-wide convention).
     """
 
     out_channels: int

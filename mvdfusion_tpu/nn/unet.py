@@ -49,7 +49,7 @@ from mvdfusion_tpu.nn.layers import (
     timestep_embedding,
 )
 from mvdfusion_tpu.ops.block import BlockWeights, should_fuse_block, transformer_block
-from mvdfusion_tpu.ops.image import area_downsample, nearest_upsample2x
+from mvdfusion_tpu.ops.image import area_downsample
 
 
 def _fused_block_weights(norm, proj_in, proj_out, block) -> BlockWeights:

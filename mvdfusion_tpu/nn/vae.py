@@ -22,7 +22,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mvdfusion_tpu.nn.layers import Dtype, GroupNorm32, dot_attention
-from mvdfusion_tpu.ops.image import nearest_upsample2x
 
 
 class VAEResnetBlock(nn.Module):

@@ -205,3 +205,28 @@ def test_folded_upsample_conv_matches_naive(monkeypatch):
             a, b = params["params"]["conv"][k], p2["params"]["conv"][k]
             assert a.shape == b.shape
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_folded_upsample_conv_bf16_envelope(monkeypatch):
+    """Pin the bf16 divergence of the folded path on the real inference
+    dtype: folded sums taps in f32 PARAM dtype before casting to bf16,
+    while naive casts the full 3x3 kernel to bf16 first — so the two paths
+    differ by more than the one-add f32 reassociation the f32 test allows.
+    The envelope must stay within bf16 rounding of the activations."""
+    import flax.linen as nn
+
+    from mvdfusion_tpu.nn.layers import UpsampleConv
+
+    rng = np.random.default_rng(1)
+    B, H, W, Cin, Co = 2, 6, 6, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, Cin)), jnp.float32)
+    mod = UpsampleConv(Co, dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(5), x)
+    monkeypatch.setenv("MVDF_UPSAMPLE_FOLD", "0")
+    naive = np.asarray(mod.apply(params, x), np.float32)
+    monkeypatch.delenv("MVDF_UPSAMPLE_FOLD")
+    folded = np.asarray(mod.apply(params, x), np.float32)
+    assert folded.dtype == naive.dtype
+    # bf16 has ~8 mantissa bits; allow a few ulp of the activation scale
+    scale = np.abs(naive).max()
+    assert np.abs(folded - naive).max() <= 4e-2 * max(scale, 1.0)
