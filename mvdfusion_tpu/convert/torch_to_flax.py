@@ -47,14 +47,25 @@ def _to_numpy_state(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
 
 
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
-    """torch.load a checkpoint; unwrap {state_dict|model_state_dict} and the
-    torchscript archive form (CLIP)."""
-    import torch
+    """Read a checkpoint's state dict; unwrap {state_dict|model_state_dict}
+    and the torchscript archive form (CLIP).
 
+    torch is optional (SURVEY.md §7.2): without a torch install the native
+    zipfile/pickle reader (convert/torch_reader.py) parses both torch.save
+    formats — incl. fp16/bf16 storages, stride/offset views and shared
+    storages — and only TorchScript archives (which serialize a scripted
+    module, not a state_dict) still require torch.jit."""
     try:
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-    except Exception:
-        obj = torch.jit.load(path, map_location="cpu").state_dict()
+        import torch
+    except ImportError:
+        from mvdfusion_tpu.convert.torch_reader import read_torch_checkpoint
+
+        obj = read_torch_checkpoint(path)  # raises clearly on torchscript
+    else:
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+        except Exception:
+            obj = torch.jit.load(path, map_location="cpu").state_dict()
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     for key in ("model_state_dict", "state_dict"):

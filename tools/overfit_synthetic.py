@@ -73,6 +73,11 @@ class OverfitArgs:
     # (the round-2 proof plateaued near 10.6 dB held-out PSNR at tiny width —
     # a capacity ceiling, not a trainer defect; VERDICT r2 weak #4)
     model: str = "tiny"
+    # eval sampling seed base (PRNGKey(eval_seed + scene)): lets --eval-only
+    # re-sample the SAME checkpoint under different noise streams, separating
+    # "this pose/scene systematically fails" from "this eta=1.0 trajectory
+    # diverged" (VERDICT r3 weak #2, the two dark grid columns)
+    eval_seed: int = 1000
 
 
 def _log(msg: str) -> None:
@@ -289,7 +294,7 @@ def evaluate(model, params, ds, batch, args: OverfitArgs, eval_views=None, tag="
         bound = 6.0 * jnp.maximum(1.0, jnp.max(jnp.abs(in_lat)))
         res = ddim_sample(
             params, model, cams, in_lat, in_cams, clip_v,
-            jax.random.PRNGKey(1000 + s), jnp.asarray(1.0),
+            jax.random.PRNGKey(args.eval_seed + s), jnp.asarray(1.0),
             num_steps=args.eval_ddim_steps,
             x_clip=bound,
         )
@@ -436,12 +441,14 @@ def main():
     ap.add_argument("--quick", action="store_true", help="CPU smoke sizes")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate the saved trained_params.npz")
+    ap.add_argument("--eval-seed", type=int, default=1000,
+                    help="eval sampling seed base (diagnose trajectory stochasticity)")
     ap.add_argument("--model", default="tiny", choices=("tiny", "small"))
     a = ap.parse_args()
     args = OverfitArgs(
         scenes=a.scenes, vae_steps=a.vae_steps, steps=a.steps,
         eval_ddim_steps=a.eval_ddim_steps, lr=a.lr, seed=a.seed, out=a.out,
-        model=a.model,
+        model=a.model, eval_seed=a.eval_seed,
     )
     if a.quick:
         args = dataclasses.replace(
