@@ -83,6 +83,12 @@ class ViewFusionConfig:
     # "auto" (fuse on TPU when shapes qualify) | "never" | "interpret"
     # (force the kernels in interpreter mode — CPU parity/sharding tests)
     fuse_mode: str = "auto"
+    # ablation switch: zero the GridAttn frustum before the UNet, leaving
+    # everything else (params, CFG, concat/CLIP conditioning) identical —
+    # used to demonstrate the cross-view mechanism is load-bearing for the
+    # consistency metric (reference claim README.md:11-12, mechanism
+    # view_attn_efficient2.py:413-442). Static: zero cost when False.
+    ablate_frustum: bool = False
 
     def tiny(self) -> "ViewFusionConfig":
         """A scaled-down config for tests and CPU dryruns."""
@@ -323,6 +329,8 @@ class ViewFusion(nn.Module):
             overwrite_attn_depth=prev_depth,
             jitter_noise=attn_jitter_noise,
         )
+        if self.cfg.ablate_frustum:
+            frustum = jnp.zeros_like(frustum)
         clip_embed = self.cc_projection(clip_v_embed)
         x, levels = self._unet_inputs(noisy_latents, input_latents, frustum)
 
@@ -376,6 +384,8 @@ class ViewFusion(nn.Module):
             overwrite_attn_depth=prev_depth,
             jitter_noise=attn_jitter_noise,
         )
+        if self.cfg.ablate_frustum:
+            frustum = jnp.zeros_like(frustum)
         clip_embed = self.cc_projection(clip_v_embed)
         x_cond, levels = self._unet_inputs(noisy_latents, input_latents, frustum)
         x_null = jnp.concatenate([noisy_latents, jnp.zeros_like(x_cond[..., 5:])], axis=-1)

@@ -714,13 +714,16 @@ def _fwd_impl(x_in, attn2_add, w: BlockWeights, heads: int, interpret: bool):
         )(xinT, a2T, *attn_w)
         # token-chunk size for the GEGLU intermediate: benched on v5e, wider
         # chunks give the MXU full-width dots instead of N=128 slivers
-        # (+1.3 ms/step at 32^2 going 128 -> 512). Budget: GEGLU weights
-        # (C=640: ~10.7 MB) + (2*inner, chunk) bf16 intermediate + io tiles
-        # must stay under the ~16 MB VMEM scope — C=640 fits chunk 256
-        # (~14.5 MB), C<=384 fits 512 comfortably. MVDF_BLOCK_FFC overrides
-        # for A/B (esp. with NB>1 where N is the packed lane count).
+        # (+1.3 ms/step at 32^2 going 128 -> 512; round 4: 512 -> 1024 — one
+        # unchunked pass at the 32^2 sites — measured 4.95 vs 4.90 views/s
+        # on the full 50-step bench, standalone step 34.3 vs 35.4 ms).
+        # Budget: GEGLU weights (C=640: ~10.7 MB) + (2*inner, chunk) bf16
+        # intermediate + io tiles must stay under the ~16 MB VMEM scope —
+        # C=640 fits chunk 256 (~14.5 MB); C<=384 at chunk 1024 is ~10 MB
+        # (5.2 MB intermediate + 2.3 MB weights + io). MVDF_BLOCK_FFC
+        # overrides for A/B (esp. with NB>1 where N is the packed lanes).
         ffc = min(N, int(_os.environ.get("MVDF_BLOCK_FFC", "0")) or
-                  (512 if C <= 384 else 256))
+                  (1024 if C <= 384 else 256))
         outT = pl.pallas_call(
             functools.partial(_ff_kernel, chunk=ffc),
             grid=(B,),

@@ -183,3 +183,52 @@ def test_decode_roundtrip_shapes(tiny_model):
     img = jax.jit(lambda p, a: model.apply(p, a, method=ViewFusion.decode_latents))(params, z)
     assert img.shape == (B, IMG, IMG, 3)
     assert (np.asarray(img) >= 0).all() and (np.asarray(img) <= 1).all()
+
+
+def test_ablate_frustum_removes_cross_view_dependence(tiny_model):
+    """cfg.ablate_frustum zeros the GridAttn frustum, leaving everything
+    else identical. Behavioral pin: apply_model's `batch_cameras` argument
+    feeds ONLY GridAttn (the pose conditioning rides clip_v_embed), so the
+    ablated model must be invariant to perturbing it while the normal model
+    must not be. Used by the consistency ablation (tools/overfit_synthetic)."""
+    import dataclasses
+
+    model, params, batch = tiny_model
+    # at init the view-aligned sites' proj_out is ZERO (reference zero_module
+    # semantics, attention.py:283) so the frustum contributes exactly nothing;
+    # un-zero those projections so the mechanism is live for this test
+    def unzero(path, leaf):
+        names = [str(getattr(k, "key", k)) for k in path]
+        hit = ("proj_out" in names and any("view_attn" in n for n in names)) or (
+            "conv_out" in names  # the UNet's zero-init final conv: at init
+            # the whole UNet returns zeros regardless of input
+        )
+        if hit and names[-1] == "kernel":
+            seed = abs(hash(tuple(names))) % (2**31)
+            return jax.random.normal(jax.random.PRNGKey(seed), leaf.shape, leaf.dtype) * 0.05
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(unzero, params)
+    prep = jax.jit(lambda p, *a: model.apply(p, *a, method=ViewFusion.prepare_batch))
+    latents, cams, in_lat, in_cams, clip_v = prep(
+        params, batch["images"], batch["R"], batch["T"], batch["f"], batch["c"],
+        batch["input_idx"], batch["target_idx"],
+    )
+    ablated = ViewFusion(dataclasses.replace(model.cfg, ablate_frustum=True))
+    t = jnp.full((B,), 117, jnp.int32)
+    rng = jax.random.PRNGKey(5)
+    # perturb the cameras GridAttn unprojects/gathers with (NB: Cameras
+    # overrides __len__ as the batch size, which breaks namedtuple._replace)
+    cams2 = type(cams)(cams.R, cams.T + 0.25, cams.focal_length, cams.principal_point)
+
+    def run(m, cc):
+        return m.apply(
+            params, latents, cc, in_lat, in_cams, clip_v, t, rng,
+            method=ViewFusion.apply_model,
+        )
+
+    out_n1, out_n2 = run(model, cams), run(model, cams2)
+    out_a1, out_a2 = run(ablated, cams), run(ablated, cams2)
+    assert float(jnp.max(jnp.abs(out_n1 - out_n2))) > 1e-5, "normal model ignores cameras?"
+    np.testing.assert_allclose(np.asarray(out_a1), np.asarray(out_a2), atol=1e-6)
+    assert float(jnp.max(jnp.abs(out_n1 - out_a1))) > 1e-5, "ablation is a no-op?"

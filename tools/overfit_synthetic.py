@@ -266,6 +266,7 @@ def evaluate(model, params, ds, batch, args: OverfitArgs, eval_views=None, tag="
     from mvdfusion_tpu.ops.image import area_downsample
     from mvdfusion_tpu.pipeline.sampler import ddim_sample
     from mvdfusion_tpu.utils.common import normalize, unnormalize
+    from mvdfusion_tpu.utils.metrics import cross_view_consistency
     from mvdfusion_tpu.utils.metrics import psnr as np_psnr
 
     if eval_views is None:
@@ -304,14 +305,31 @@ def evaluate(model, params, ds, batch, args: OverfitArgs, eval_views=None, tag="
         depth_pred = np.asarray(unnormalize(res.latents[..., 4:5]))
         depth_gt = np.asarray(area_downsample(jnp.asarray(batch["depths"][s][eval_views]), factor))
         scene_psnr = [np_psnr(rgb[i], gt[i]) for i in range(len(eval_views))]
+        # cross-view consistency of the GENERATED RGB-D (the paper's claim,
+        # reference README.md:11-12) at latent resolution, plus the GT
+        # ceiling on the same poses (the metric's docstring: compare against
+        # the same-resolution analytic ceiling, not against 1.0)
+        ev = [int(v) for v in eval_views]
+        cams_np = tuple(batch[k][s][ev] for k in ("R", "T", "f", "c"))
+        rgb_lr = np.asarray(area_downsample(jnp.asarray(rgb), factor))
+        consistency = cross_view_consistency(rgb_lr, depth_pred, *cams_np)
+        gt_lr = np.asarray(area_downsample(jnp.asarray(gt), factor))
+        consistency_gt = cross_view_consistency(gt_lr, depth_gt, *cams_np)
         results.append(
             dict(
                 rgb=rgb, gt=gt, depth_pred=depth_pred, depth_gt=depth_gt,
                 psnr=scene_psnr,
                 depth_mae=float(np.mean(np.abs(depth_pred - depth_gt))),
+                consistency=consistency, consistency_gt=consistency_gt,
             )
         )
-        _log(f"[{tag} scene {s}] psnr {['%.1f' % p for p in scene_psnr]} depth_mae {results[-1]['depth_mae']:.4f}")
+        _log(
+            f"[{tag} scene {s}] psnr {['%.1f' % p for p in scene_psnr]} "
+            f"depth_mae {results[-1]['depth_mae']:.4f} "
+            f"cons(photo {consistency['photo_mae']:.4f} agree "
+            f"{consistency['depth_agree_rate']:.3f} covis {consistency['covis_frac']:.3f}; "
+            f"GT ceiling photo {consistency_gt['photo_mae']:.4f})"
+        )
     return eval_views, results
 
 
@@ -405,8 +423,23 @@ def run(args: OverfitArgs, eval_only: bool = False) -> dict:
                  if int(eval_views[i]) in HELDOUT_VIEWS])
     )
 
+    # GridAttn ablation (VERDICT r3 missing #1): the SAME trained params,
+    # the SAME seeds, with the cross-view frustum zeroed — demonstrates the
+    # grafted mechanism is load-bearing for multi-view consistency
+    import dataclasses as dc
+
+    from mvdfusion_tpu.nn.viewfusion import ViewFusion as VF
+
+    ablated_model = VF(dc.replace(model.cfg, ablate_frustum=True))
+    _, ablated = evaluate(ablated_model, params, ds, batch, args, tag="ablated")
+
     save_artifacts(eval_views, floor, None, args.out, "floor")
     save_artifacts(eval_views, trained, losses, args.out, "trained")
+    save_artifacts(eval_views, ablated, None, args.out, "ablated")
+
+    def agg_consistency(results, key="consistency"):
+        ks = ("photo_mae", "depth_agree_rate", "covis_frac")
+        return {k: float(np.mean([r[key][k] for r in results])) for k in ks}
 
     report = dict(
         vae_recon_psnr=vae_psnr,
@@ -421,6 +454,13 @@ def run(args: OverfitArgs, eval_only: bool = False) -> dict:
         vae_steps=args.vae_steps,
         eval_views=[int(v) for v in eval_views],
         heldout_views=list(HELDOUT_VIEWS),
+        model=args.model,
+        scenes=args.scenes,
+        consistency=agg_consistency(trained),
+        consistency_ablated=agg_consistency(ablated),
+        consistency_gt_ceiling=agg_consistency(trained, "consistency_gt"),
+        ablated_psnr=float(np.mean([p for r in ablated for p in r["psnr"]])),
+        ablated_depth_mae=float(np.mean([r["depth_mae"] for r in ablated])),
     )
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "report.json"), "w") as fp:
