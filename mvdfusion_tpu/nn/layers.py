@@ -100,7 +100,13 @@ class GroupNorm32(nn.Module):
         xs = x.astype(jnp.float32).reshape(*x.shape[:-1], num_groups, C // num_groups)
         red = tuple(range(1, xs.ndim - 2)) + (xs.ndim - 1,)
         mu = jnp.mean(xs, axis=red, keepdims=True)
-        var = jnp.mean(jnp.square(xs), axis=red, keepdims=True) - jnp.square(mu)
+        # clamp: E[x^2]-mu^2 can go (slightly) negative under f32
+        # cancellation at large activations -> rsqrt(neg) -> NaN poisons the
+        # whole sample (observed once per ~16 eta=1.0 from-scratch
+        # trajectories, always at the final t=1 step); exact when var >= 0
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xs), axis=red, keepdims=True) - jnp.square(mu), 0.0
+        )
         y = ((xs - mu) * jax.lax.rsqrt(var + self.epsilon)).reshape(x.shape)
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         if self.act == "silu":
@@ -122,6 +128,10 @@ class LayerNormFp32(nn.Module):
             use_bias=self.use_scale_bias,
             use_scale=self.use_scale_bias,
             dtype=jnp.float32,
+            # two-pass variance: the default E[x^2]-mu^2 goes negative under
+            # f32 cancellation at large activations -> NaN (same failure the
+            # GroupNorm clamp guards); matches torch LayerNorm semantics
+            use_fast_variance=False,
         )(x.astype(jnp.float32))
         return y.astype(orig_dtype)
 

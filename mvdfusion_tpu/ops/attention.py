@@ -52,6 +52,63 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _attn_kernel_t(qt_ref, kt_ref, vt_ref, o_ref, *, scale: float):
+    """Fully TRANSPOSED variant for lane-limited head dims (dh < 128).
+
+    The natural-orientation kernel's two matmuls each touch dh lanes:
+    QK^T contracts over q's dh lanes and PV emits dh output lanes, so at
+    the SD1 sites' dh=40 both run at 40/128 ≈ 31% of MXU peak — the
+    stretch shape's measured ceiling (docs/ARCHITECTURE.md §5b). Keeping
+    dh on SUBLANES everywhere removes the limit (same trick as
+    ops/block.py's site kernels, here tiled for N up to 4096):
+
+      logits^T (Nk, BQ) = dot_g(kT (dh, Nk), qT (dh, BQ))  contract dh=sublanes
+      softmax over Nk = a SUBLANE-axis reduction
+      out^T   (dh, BQ) = dot_g(vT (dh, Nk), P^T (Nk, BQ))  contract Nk
+
+    Both contractions are full-width MXU forms (dh=40 is 5 sublane tiles,
+    no padding); the only lane-underfilled object left is the (dh, BQ)
+    output tile's sublanes — free. The fp32 logits tile (Nk, BQ) is the
+    VMEM budget, identical to the natural form's."""
+    qt = qt_ref[0]  # (dh, BQ)
+    kt = kt_ref[0]  # (dh, Nk)
+    vt = vt_ref[0]  # (dh, Nk)
+    st = jax.lax.dot_general(
+        kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Nk, BQ)
+    st = st * scale
+    m = jnp.max(st, axis=0, keepdims=True)
+    e = jnp.exp(st - m)
+    p = (e / jnp.sum(e, axis=0, keepdims=True)).astype(vt.dtype)
+    o = jax.lax.dot_general(
+        vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (dh, BQ)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _use_transposed(Nq: int, Nk: int, dh: int) -> bool:
+    """Route lane-limited head dims to the transposed kernel.
+
+    MVDF_ATTN_T=0/1 forces the orientation. Measured on v5e
+    (tools/attn_tune.py, chained-carry timing, 20 iters): at the shape the
+    transposed form was BUILT for — stretch 64^2 attn1, B=16, N=4096, 8
+    heads of dh=40 (docs/ARCHITECTURE.md §5b's ~31%-lane-occupancy
+    ceiling) — it LOSES: 11.12 ms vs natural 10.63 ms. The dh-on-sublanes
+    matmuls don't pay for the (B*H, dh, N) fold transposes XLA must emit
+    around the kernel, and the fp32 (Nk, BQ) logits tile pipelines no
+    better. It WINS only at small-Nk skinny shapes (Nq=4096, Nk=128,
+    dh=40: 1.78 vs 2.34 ms), where the whole K/V block stays resident and
+    the fold is cheap — so auto routes there and nowhere else."""
+    import os
+
+    mode = os.environ.get("MVDF_ATTN_T", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return dh < 128 and Nk <= 256 and Nq % 128 == 0 and Nk % 128 == 0
+
+
 def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
     """q: (B, Nq, H, dh), k/v: (B, Nk, H, dh) -> (B, Nq, H, dh)."""
     B, Nq, H, dh = q.shape
@@ -62,6 +119,34 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
         bq //= 2
     if Nq % bq:  # no clean divisor (e.g. CLIP's 257 tokens): whole-dim block
         bq = Nq
+
+    if _use_transposed(Nq, Nk, dh):
+        def fold_t(x, n):
+            x = jnp.swapaxes(x, 1, 2).reshape(B * H, n, dh)
+            if dh_p != dh:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, dh_p - dh)))
+            return jnp.swapaxes(x, 1, 2)  # (B*H, dh_p, n)
+
+        qt, kt, vt = fold_t(q, Nq), fold_t(k, Nk), fold_t(v, Nk)
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_t, scale=scale),
+            grid=(B * H, Nq // bq),
+            in_specs=[
+                pl.BlockSpec((1, dh_p, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dh_p, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dh_p, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, dh_p, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B * H, dh_p, Nq), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * H * Nq * Nk * dh_p,
+                bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+                transcendentals=B * H * Nq * Nk,
+            ),
+            interpret=interpret,
+        )(qt, kt, vt)
+        out = out[:, :dh].reshape(B, H, dh, Nq)
+        return jnp.transpose(out, (0, 3, 1, 2))
 
     def fold(x, n):
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, n, dh)
@@ -128,6 +213,14 @@ def should_fuse(q, k) -> bool:
         return False
     Nq, Nk = q.shape[1], k.shape[1]
     if Nq < 256 or Nk < 128:
+        return False
+    # VAE mid-attention at decode/encode batch (B>=2, single dh=512 head,
+    # N=1024): XLA wins — measured 1.85 ms vs fused 2.32 ms at B=8 on v5e
+    # (tools/attn_tune.py); at B=1 the fused kernel still wins (1.57 vs
+    # 1.84). XLA batches the B heads into one fat GEMM chain the per-(B*H)
+    # grid can't match. No other live site has dh > 128 (UNet site heads
+    # are dh=40..160 and go through ops/block.py; CLIP is dh=64).
+    if q.shape[-1] > 128 and q.shape[0] >= 2:
         return False
     # K/V + logits tile must fit VMEM comfortably. Mosaic double-buffers the
     # grid-varying K/V blocks, so the budget is ~2*(2*Nk*dh) bf16 bytes plus

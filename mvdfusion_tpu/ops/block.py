@@ -136,7 +136,9 @@ def _ln_t(h, g_ref, b_ref):
     f32 = jnp.float32
     hf = h.astype(f32)
     mu = jnp.mean(hf, axis=0, keepdims=True)  # (1, N)
-    var = jnp.mean(hf * hf, axis=0, keepdims=True) - mu * mu
+    # clamped: f32 cancellation can push E[x^2]-mu^2 slightly negative at
+    # large activations -> rsqrt(neg) NaN (see layers.GroupNorm32)
+    var = jnp.maximum(jnp.mean(hf * hf, axis=0, keepdims=True) - mu * mu, 0.0)
     y = (hf - mu) * jax.lax.rsqrt(var + _LN_EPS)
     return (y * g_ref[...].astype(f32) + b_ref[...].astype(f32)).astype(h.dtype)
 
@@ -175,7 +177,7 @@ def _gn_t(x, g_ref, b_ref, nb: int = 1):
         cnt = float(cg * N)
         mu = jnp.dot(segG, s1, preferred_element_type=f32) / cnt  # (G, 1)
         ex2 = jnp.dot(segG, s2, preferred_element_type=f32) / cnt
-        rstd = jax.lax.rsqrt(ex2 - mu * mu + _GN_EPS)
+        rstd = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + _GN_EPS)
         mu_c = jnp.dot(segG.T, mu, preferred_element_type=f32)  # (C, 1)
         rstd_c = jnp.dot(segG.T, rstd, preferred_element_type=f32)
     else:
@@ -186,7 +188,7 @@ def _gn_t(x, g_ref, b_ref, nb: int = 1):
         cnt = float(cg * npr)
         mu = jnp.dot(segG, s1, preferred_element_type=f32) / cnt  # (G, nb)
         ex2 = jnp.dot(segG, s2, preferred_element_type=f32) / cnt
-        rstd = jax.lax.rsqrt(ex2 - mu * mu + _GN_EPS)
+        rstd = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + _GN_EPS)
         # expand back: channels via segG^T, then lanes via segN^T
         mu_c = jnp.dot(
             jnp.dot(segG.T, mu, preferred_element_type=f32), segN.T,
@@ -481,13 +483,15 @@ def _xla_reference(x_in, attn2_add, w: BlockWeights, heads: int):
     def ln(h, g, b):
         hf = h.astype(f32)
         mu = jnp.mean(hf, axis=-1, keepdims=True)
-        var = jnp.mean(hf * hf, axis=-1, keepdims=True) - mu * mu
+        var = jnp.maximum(jnp.mean(hf * hf, axis=-1, keepdims=True) - mu * mu, 0.0)
         y = (hf - mu) * jax.lax.rsqrt(var + _LN_EPS)
         return (y * g.astype(f32) + b.astype(f32)).astype(h.dtype)
 
     xs = x_in.astype(f32).reshape(B, N, _GN_GROUPS, C // _GN_GROUPS)
     mu = jnp.mean(xs, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xs), axis=(1, 3), keepdims=True) - jnp.square(mu)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xs), axis=(1, 3), keepdims=True) - jnp.square(mu), 0.0
+    )
     x_gn = ((xs - mu) * jax.lax.rsqrt(var + _GN_EPS)).reshape(B, N, C)
     x_gn = (x_gn * w.gn_g.astype(f32) + w.gn_b.astype(f32)).astype(dt)
 

@@ -226,6 +226,18 @@ def _dit_pool(
 
     _mode = _os.environ.get("MVDF_CV_DIT", "")
     merged = _mode == "merged"
+    # "bf16": single-cast bf16 attention scaffolding. The baseline's segment
+    # dots are the kernel's only f32 x f32 matmuls — at the flagship shape
+    # (V=8, heads=8, hid=256, N=8192, L=3) they are ~103 GFLOP/step, ~2.1 ms
+    # at the MXU's 1/4-rate f32 throughput, which is exactly the measured
+    # 0.93 ms/layer DiT slope. Unlike "hilo" (exact, but 18 extra cast
+    # sweeps/layer — measured SLOWER), this mode casts q/k ONCE per layer
+    # (2 sweeps) and P once (1 sweep), then runs products + segment dots in
+    # bf16: ~1/4 the dot time for ~1e-2-relative logit rounding — the same
+    # numerics policy as every site attention kernel (ops/block.py QK^T is
+    # bf16 there too). NOT exact vs the f32 XLA twin; parity envelope is
+    # pinned by test_crossview_dit_bf16_envelope.
+    bf16 = _mode == "bf16"
     # "hilo": keep the baseline's narrow per-source-view segment dots (the
     # merged wide-dot restructure measured SLOWER on v5e: 4.65 vs 3.72 ms
     # standalone — the (TN*V, V*hid) concat materialization costs more VPU
@@ -282,6 +294,16 @@ def _dit_pool(
             L = jnp.dot(hi, seg_all, preferred_element_type=f32) + jnp.dot(
                 lo, seg_all, preferred_element_type=f32
             )
+        elif bf16:
+            q3b = q3.astype(jnp.bfloat16)
+            k3b = k3.astype(jnp.bfloat16)
+            L = jnp.zeros((TN * V, VH), f32)
+            for w_i in range(V):
+                prod_w = (q3b * k3b[:, w_i : w_i + 1, :]).reshape(TN * V, hid)
+                L = L + jnp.dot(
+                    prod_w, seg_w[w_i].astype(jnp.bfloat16),
+                    preferred_element_type=f32,
+                )
         elif hilo:
             # exact: prod = hi + lo with hi = bf16(prod); against a 0/1
             # segment matrix, dot(hi) + dot(lo) in f32 accumulation
@@ -321,6 +343,15 @@ def _dit_pool(
             for w_i in range(V):
                 a_w = jax.lax.slice_in_dim(A, w_i * hid, (w_i + 1) * hid, axis=1)
                 attn = attn + a_w.reshape(TN, V, hid) * v3[:, w_i : w_i + 1, :]
+        elif bf16:
+            Pb = P.astype(jnp.bfloat16)
+            attn = jnp.zeros((TN, V, hid), f32)
+            for w_i in range(V):
+                p_exp = jnp.dot(
+                    Pb, segT_w[w_i].astype(jnp.bfloat16),
+                    preferred_element_type=f32,
+                )  # (TN*V, hid)
+                attn = attn + p_exp.reshape(TN, V, hid) * v3[:, w_i : w_i + 1, :]
         elif hilo:
             # P in [0,1]; same hi/lo exactness argument as the logits
             Phi = P.astype(jnp.bfloat16)

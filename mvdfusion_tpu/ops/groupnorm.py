@@ -66,7 +66,7 @@ def _gn_kernel(x_ref, g_ref, b_ref, o_ref, *, groups: int, eps: float, act: str)
     cnt = float(N * cg)
     mu = jnp.dot(s1, seg, preferred_element_type=f32) / cnt  # (1, G)
     ex2 = jnp.dot(s2, seg, preferred_element_type=f32) / cnt
-    rstd = jax.lax.rsqrt(ex2 - mu * mu + eps)
+    rstd = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
     mu_c = jnp.dot(mu, seg.T, preferred_element_type=f32)  # (1, C)
     rstd_c = jnp.dot(rstd, seg.T, preferred_element_type=f32)
     y = (xs - mu_c) * (rstd_c * g_ref[...].astype(f32)) + b_ref[...].astype(f32)
@@ -130,7 +130,7 @@ def _gn_tiled_impl(x, scale, bias, groups, eps, act, tile, interpret):
     s2 = jnp.sum(stats[:, 1].reshape(B, groups, cg), axis=-1)
     cnt = float(N * cg)
     mu = s1 / cnt
-    rstd = jax.lax.rsqrt(s2 / cnt - mu * mu + eps)
+    rstd = jax.lax.rsqrt(jnp.maximum(s2 / cnt - mu * mu, 0.0) + eps)
     mu_c = jnp.repeat(mu, cg, axis=-1)  # (B, C)
     rstd_c = jnp.repeat(rstd, cg, axis=-1)
     a = rstd_c * scale.astype(f32)  # (B, C)
@@ -160,7 +160,9 @@ def _xla_gn(x, scale, bias, groups: int, eps: float, act: str):
     B, N, C = x.shape
     xs = x.astype(jnp.float32).reshape(B, N, groups, C // groups)
     mu = jnp.mean(xs, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xs), axis=(1, 3), keepdims=True) - jnp.square(mu)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xs), axis=(1, 3), keepdims=True) - jnp.square(mu), 0.0
+    )
     y = ((xs - mu) * jax.lax.rsqrt(var + eps)).reshape(B, N, C)
     y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if act == "silu":

@@ -40,6 +40,28 @@ def test_fused_attention_bf16(rng):
     )
 
 
+@pytest.mark.parametrize("orient", ["0", "1"])
+@pytest.mark.parametrize(
+    "B,Nq,Nk,H,dh",
+    [
+        (2, 256, 256, 2, 40),  # stretch attn1 class: lane-limited dh
+        (1, 384, 128, 2, 20),  # dh_p padding path (20 -> 24 sublane round-up)
+        (1, 512, 256, 1, 64),  # uneven kv
+    ],
+)
+def test_fused_attention_both_orientations(rng, monkeypatch, orient, B, Nq, Nk, H, dh):
+    """Forced natural (0) vs forced transposed (1) kernel, both vs XLA —
+    pins parity for whichever orientation the auto gate picks on TPU."""
+    monkeypatch.setenv("MVDF_ATTN_T", orient)
+    q = jnp.asarray(rng.normal(size=(B, Nq, H, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Nk, H, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Nk, H, dh)), jnp.float32)
+    scale = dh**-0.5
+    ref = _xla_attention(q, k, v, scale)
+    out = fused_attention(q, k, v, scale, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_fused_attention_grad_matches_xla(rng):
     """The custom VJP (XLA rematerialization) must match XLA end-to-end."""
     B, N, H, dh = 1, 256, 2, 32

@@ -83,13 +83,17 @@ def test_crossview_two_phase_matches_xla_path(rng, monkeypatch, V, H, D):
     np.testing.assert_allclose(out, ref, atol=1e-3)
 
 
-@pytest.mark.parametrize("mode", ["merged", "hilo"])
+@pytest.mark.parametrize("mode", ["merged", "hilo", "bf16"])
 def test_crossview_dit_variant_matches_xla(rng, monkeypatch, mode):
     """MVDF_CV_DIT variants ("merged": single wide bf16-hi/lo segment dots
     per layer; "hilo": the baseline's narrow per-view segment dots as bf16
     hi/lo pairs — ops/crossview._dit_pool) must reproduce the XLA path as
     tightly as the baseline form — the hi/lo split is exact to ~2^-17
-    relative."""
+    relative. "bf16" (single-cast bf16 q/k products + segment dots) is NOT
+    exact: its envelope vs the f32 twin is the attention-logit bf16
+    rounding (~2^-8 relative per input), pinned here at the 1e-3 module
+    tolerance the fp32 paths also meet — the DiT's residual structure keeps
+    the logit rounding from amplifying."""
     monkeypatch.setenv("MVDF_CV_DIT", mode)
     V, H, D = 4, 8, 1
     hidden, heads, layers, out_dim = 32, 4, 2, 48
@@ -108,7 +112,8 @@ def test_crossview_dit_variant_matches_xla(rng, monkeypatch, mode):
     ref = np.asarray(xla_mod.apply(params, *args, jitter_noise=i["jitter"]))
     out = np.asarray(ker_mod.apply(params, *args, jitter_noise=i["jitter"]))
     np.testing.assert_allclose(out, ref, atol=1e-3)
-    assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()
+    if mode != "bf16":  # the hi/lo modes are exact-to-rounding
+        assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()
 
 
 def test_crossview_kernel_grads_match_xla(rng):

@@ -4,6 +4,7 @@ through the SAME unproject->reproject->grid_sample chain GridAttn runs
 camera stack breaks the cross-view color agreement asserted here."""
 
 import numpy as np
+import pytest
 
 from mvdfusion_tpu.data.synthetic import (
     DEPTH_SCALE,
@@ -37,12 +38,28 @@ def test_contract_and_ranges():
     assert not np.allclose(s["images"], ds[1]["images"])
 
 
-def test_cross_view_consistency():
+def test_textured_variant():
+    """textured=True modulates albedo by a pure surface function: renders
+    must differ from the untextured scene, stay in range, and remain
+    deterministic; textured=False must be bit-identical to the original."""
+    a = SyntheticScenes(n_scenes=1, image_size=32, seed=3)[0]
+    t = SyntheticScenes(n_scenes=1, image_size=32, seed=3, textured=True)[0]
+    assert not np.allclose(a["images"], t["images"])
+    assert 0.0 <= t["images"].min() and t["images"].max() <= 1.0
+    # geometry (depth/mask) is texture-independent
+    np.testing.assert_array_equal(a["depths"], t["depths"])
+    np.testing.assert_array_equal(a["masks"], t["masks"])
+    t2 = SyntheticScenes(n_scenes=1, image_size=32, seed=3, textured=True)[0]
+    np.testing.assert_array_equal(t["images"], t2["images"])
+
+
+@pytest.mark.parametrize("textured", [False, True])
+def test_cross_view_consistency(textured):
     """Unproject view A's rendered depth to world points, reproject into
     view B, grid_sample view B's rendering (negated-xy convention,
     nn/viewattn.py:244-245): where the point is unoccluded in B, the
-    sampled color must match view A's color (Lambertian shading is
-    view-independent)."""
+    sampled color must match view A's color (Lambertian shading and the
+    analytic texture are both view-independent)."""
     import jax.numpy as jnp
 
     from mvdfusion_tpu.geometry.cameras import camera_slice, make_cameras, transform_points_ndc
@@ -50,7 +67,7 @@ def test_cross_view_consistency():
     from mvdfusion_tpu.geometry.rays import pixel_rays, rays_to_points
 
     H = 48
-    ds = SyntheticScenes(n_scenes=1, image_size=H, seed=1)
+    ds = SyntheticScenes(n_scenes=1, image_size=H, seed=1, textured=textured)
     s = ds[0]
     cams = make_cameras(s["R"], s["T"], s["f"], s["c"])
     va, vb = 2, 4  # adjacent-ish views, large mutual visibility

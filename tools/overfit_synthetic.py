@@ -78,6 +78,10 @@ class OverfitArgs:
     # "this pose/scene systematically fails" from "this eta=1.0 trajectory
     # diverged" (VERDICT r3 weak #2, the two dark grid columns)
     eval_seed: int = 1000
+    # analytic lat/long albedo bands on the spheres (data/synthetic.py):
+    # pose-distinctive appearance so novel-view quality isn't measured on
+    # shading + silhouettes alone (VERDICT r3 next #3)
+    textured: bool = False
 
 
 def _log(msg: str) -> None:
@@ -87,7 +91,10 @@ def _log(msg: str) -> None:
 def build_dataset(args: OverfitArgs):
     from mvdfusion_tpu.data.synthetic import SyntheticScenes
 
-    ds = SyntheticScenes(n_scenes=args.scenes, image_size=args.image_size, seed=args.seed)
+    ds = SyntheticScenes(
+        n_scenes=args.scenes, image_size=args.image_size, seed=args.seed,
+        textured=args.textured,
+    )
     scenes = [ds[i] for i in range(len(ds))]
     batch = {
         k: np.stack([s[k] for s in scenes])
@@ -456,6 +463,7 @@ def run(args: OverfitArgs, eval_only: bool = False) -> dict:
         heldout_views=list(HELDOUT_VIEWS),
         model=args.model,
         scenes=args.scenes,
+        textured=args.textured,
         consistency=agg_consistency(trained),
         consistency_ablated=agg_consistency(ablated),
         consistency_gt_ceiling=agg_consistency(trained, "consistency_gt"),
@@ -484,11 +492,12 @@ def main():
     ap.add_argument("--eval-seed", type=int, default=1000,
                     help="eval sampling seed base (diagnose trajectory stochasticity)")
     ap.add_argument("--model", default="tiny", choices=("tiny", "small"))
+    ap.add_argument("--textured", action="store_true")
     a = ap.parse_args()
     args = OverfitArgs(
         scenes=a.scenes, vae_steps=a.vae_steps, steps=a.steps,
         eval_ddim_steps=a.eval_ddim_steps, lr=a.lr, seed=a.seed, out=a.out,
-        model=a.model, eval_seed=a.eval_seed,
+        model=a.model, eval_seed=a.eval_seed, textured=a.textured,
     )
     if a.quick:
         args = dataclasses.replace(
