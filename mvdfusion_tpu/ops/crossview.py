@@ -226,17 +226,21 @@ def _dit_pool(
 
     _mode = _os.environ.get("MVDF_CV_DIT", "")
     merged = _mode == "merged"
-    # "bf16": single-cast bf16 attention scaffolding. The baseline's segment
-    # dots are the kernel's only f32 x f32 matmuls — at the flagship shape
-    # (V=8, heads=8, hid=256, N=8192, L=3) they are ~103 GFLOP/step, ~2.1 ms
-    # at the MXU's 1/4-rate f32 throughput, which is exactly the measured
-    # 0.93 ms/layer DiT slope. Unlike "hilo" (exact, but 18 extra cast
-    # sweeps/layer — measured SLOWER), this mode casts q/k ONCE per layer
-    # (2 sweeps) and P once (1 sweep), then runs products + segment dots in
-    # bf16: ~1/4 the dot time for ~1e-2-relative logit rounding — the same
-    # numerics policy as every site attention kernel (ops/block.py QK^T is
-    # bf16 there too). NOT exact vs the f32 XLA twin; parity envelope is
-    # pinned by test_crossview_dit_bf16_envelope.
+    # "bf16": single-cast bf16 attention scaffolding. Hypothesis: the
+    # baseline's segment dots are the kernel's only f32 x f32 matmuls — at
+    # the flagship shape (V=8, heads=8, hid=256, N=8192, L=3) ~103
+    # GFLOP/step, ~2.1 ms at the MXU's 1/4-rate f32 throughput, matching
+    # the measured 0.93 ms/layer DiT slope. Unlike "hilo" (exact, but 18
+    # extra cast sweeps/layer — measured SLOWER), this casts q/k ONCE per
+    # layer and P once, then runs products + segment dots in bf16 (~1e-2
+    # logit rounding, same numerics policy as the site kernels' QK^T).
+    # MEASURED (round 4, full 50-step flagship bench): 4.918 vs 4.941
+    # views/s baseline — a WASH inside the ±0.7% run noise. Third strike
+    # for restructuring these dots (merged 4.65 ms, hilo 4.78 ms, bf16
+    # ~0 vs 3.72 ms standalone baseline): the DiT slope is NOT f32-MXU
+    # throughput; the segment dots pipeline behind the VPU work (products,
+    # layernorms, softmax, casts) that every variant keeps. Kept env-gated
+    # as the measured record; default stays the exact f32 baseline.
     bf16 = _mode == "bf16"
     # "hilo": keep the baseline's narrow per-source-view segment dots (the
     # merged wide-dot restructure measured SLOWER on v5e: 4.65 vs 3.72 ms
