@@ -73,3 +73,29 @@ def test_fused_attention_grad_matches_xla(rng):
     g_out = jax.grad(lambda q, k, v: jnp.sum(jnp.sin(fused_attention(q, k, v, s, True))), (0, 1, 2))(q, k, v)
     for a, b in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_routing_gates(monkeypatch):
+    """Pin the measured routing decisions (tools/attn_tune.py, v5e):
+    transposed auto-routes ONLY at small-Nk skinny shapes; should_fuse
+    sends the VAE mid-attention at decode batch (B>=2, dh=512) to XLA
+    (measured 1.85 vs 2.32 ms) while keeping the B=1 case fused."""
+    import jax
+
+    from mvdfusion_tpu.ops import attention as A
+
+    monkeypatch.delenv("MVDF_ATTN_T", raising=False)
+    assert not A._use_transposed(4096, 4096, 40)  # stretch attn1: natural wins
+    assert A._use_transposed(4096, 128, 40)  # skinny kv: transposed wins
+    assert not A._use_transposed(4096, 128, 128)  # lane-full dh: natural
+    assert not A._use_transposed(4100, 128, 40)  # unclean Nq
+    monkeypatch.setenv("MVDF_ATTN_T", "1")
+    assert A._use_transposed(4096, 4096, 40)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("MVDF_DISABLE_PALLAS", raising=False)
+    z = lambda b, n, d: jax.ShapeDtypeStruct((b, n, 1, d), jax.numpy.bfloat16)
+    assert A.should_fuse(z(1, 1024, 512), z(1, 1024, 512))  # VAE mid B=1: fused
+    assert not A.should_fuse(z(8, 1024, 512), z(8, 1024, 512))  # decode batch: XLA
+    assert A.should_fuse(z(16, 4096, 40), z(16, 4096, 40))  # stretch attn1: fused
+    assert not A.should_fuse(z(1, 4096, 512), z(1, 4096, 512))  # VMEM gate
