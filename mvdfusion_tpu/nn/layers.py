@@ -340,6 +340,16 @@ class UpsampleConv(nn.Module):
 
         B, H, W, _ = x.shape
         Co = self.out_channels
+        # Assembly A/B record (round 4, full 50-step bench, decode trace):
+        # the trace shows ~2.5 ms/decode of passes around this interleave at
+        # the 256^2 x 256 site (4-phase assembly 0.82 + interleave copy 0.82
+        # + bias broadcast_add 0.83). BOTH restructures lost: (a) lane-axis
+        # concat assembly (same buffer as the stack, free reshape, fusable)
+        # — 4.925 vs 4.941 views/s, the concat consumer changed the phase
+        # convs' output layouts and slowed the convs more than the saved
+        # pass; (b) bias folded into each phase conv's epilogue with the
+        # stack kept — 4.922, decode +2.5 ms. XLA's layout assignment around
+        # the interleave is a local optimum; keep the round-3 form.
         t = jnp.stack(
             [phase(k00, 0, 0), phase(k01, 0, 1), phase(k10, 1, 0), phase(k11, 1, 1)],
             axis=3,
