@@ -80,6 +80,15 @@ def main() -> None:
         "1 input + 5 target views per step, masked AdamW — "
         "configs/mvd_train.yaml / train.py:87)",
     )
+    ap.add_argument(
+        "--train-only", action="store_true",
+        help="skip the main sampling workload and run only the training "
+        "bench. The train step's peak HBM (f32 master params + AdamW "
+        "moments + backward activations) does not fit NEXT TO the main "
+        "bench's resident params/executables on a 16 GB chip "
+        "(ResourceExhausted, round 4) — the reference faces no such "
+        "colocation (separate train.py / demo.py processes, train.py:27)",
+    )
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument(
         "--scenes", type=int, default=None,
@@ -318,7 +327,15 @@ def main() -> None:
             TrainConfig, init_train_state, make_train_step,
         )
 
-        model, params, *_ = build(cfg, 5, img, tag)
+        # Per-block UNet remat: the flagship train step stopped fitting the
+        # 16 GB chip in round 4 (measured peak 16.8 GB: 14.1 GB f32 masters
+        # + AdamW moments, 2.4 GB activations/temps, 0.4 GB code). With
+        # remat + bf16 frozen masters (init_train_state auto policy) the
+        # step fits with margin; both are exact-math features the reference
+        # (40 GB A100s) never needed.
+        import dataclasses as _dc
+
+        model, params, *_ = build(_dc.replace(cfg, unet_remat=True), 5, img, tag)
         rng = np.random.default_rng(1)
         S = 6
         batch = {
@@ -340,10 +357,14 @@ def main() -> None:
         # 1B-param net). Step COST is lr-independent; this keeps the timed
         # losses finite and honest.
         tc = TrainConfig(lr=1e-8)
-        state = init_train_state(params, tc)
-        # donation below consumes the param buffers shared with `state`;
-        # keep a copy + an abstract template for the MFU/remat analysis
-        params2 = jax.tree_util.tree_map(jnp.copy, params)
+        state = init_train_state(params, tc, model)
+        # HBM discipline: the state (masters + AdamW moments) is ~13 GB of
+        # the 16 GB chip. Drop every other reference to the f32 init params
+        # NOW — the earlier form kept `params` AND a full `params2` device
+        # copy alive next to the state (~19 GB -> ResourceExhausted). The
+        # MFU/remat twin below re-derives params by re-running the
+        # deterministic init instead of holding a copy.
+        del params
         abs_state = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
         )
@@ -386,9 +407,12 @@ def main() -> None:
                 # slower, the kernels' training value is zero and the remat
                 # overhead is the whole story. (env stays set through the
                 # first call so the trace takes the XLA path)
+                del state  # free the fused path's donated-through state
+                _, params2, *_ = build(_dc.replace(cfg, unet_remat=True), 5, img, tag + "-twin")
                 st, ls = step_x(
-                    init_train_state(params2, tc), batch, jax.random.PRNGKey(0)
+                    init_train_state(params2, tc, model), batch, jax.random.PRNGKey(0)
                 )
+                del params2
                 _ = float(ls)
                 tx = []
                 for i in range(5):
@@ -424,7 +448,7 @@ def main() -> None:
         try:
             dev_fl = float(
                 jax.jit(make_train_step(model, tc), donate_argnums=(0,))
-                .lower(init_train_state(params, tc), batch, jax.random.PRNGKey(0))
+                .lower(abs_state, batch, jax.random.PRNGKey(0))
                 .compile().cost_analysis()["flops"]
             )
             dev_mfu = dev_fl / 1e12 * sps / peak if peak else float("nan")
@@ -437,9 +461,10 @@ def main() -> None:
         return result
 
     scenes = args.scenes if args.scenes is not None else 1
-    vps = bench_workload(ViewFusionConfig(), n_views, img, steps, "main", scenes=scenes)
+    if not args.train_only:
+        vps = bench_workload(ViewFusionConfig(), n_views, img, steps, "main", scenes=scenes)
 
-    if args.train:
+    if args.train or args.train_only:
         tr = bench_train(ViewFusionConfig(), "train")
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "TRAIN_BENCH.json")
         with open(out, "w") as fp:
@@ -454,6 +479,8 @@ def main() -> None:
         )
         bench_workload(stretch_cfg, n_views, 512, steps, "stretch64")
 
+    if args.train_only:
+        return
     print(
         json.dumps(
             {

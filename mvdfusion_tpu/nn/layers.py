@@ -128,10 +128,14 @@ class LayerNormFp32(nn.Module):
             use_bias=self.use_scale_bias,
             use_scale=self.use_scale_bias,
             dtype=jnp.float32,
-            # two-pass variance: the default E[x^2]-mu^2 goes negative under
-            # f32 cancellation at large activations -> NaN (same failure the
-            # GroupNorm clamp guards); matches torch LayerNorm semantics
-            use_fast_variance=False,
+            # fast variance is SAFE here: flax already clamps it at 0
+            # (normalization.py `var = jnp.maximum(0.0, mu2 - _abs_sq(mu))`)
+            # so the rsqrt(negative)->NaN failure the repo's own norms
+            # needed clamping for (GroupNorm32, ops/block.py, groupnorm.py)
+            # cannot occur. Round 4 briefly switched to two-pass variance
+            # (use_fast_variance=False); that doubled the LN activation
+            # residuals through the train-step backward and OOM'd the
+            # 16 GB chip on `bench.py --train` — reverted.
         )(x.astype(jnp.float32))
         return y.astype(orig_dtype)
 

@@ -409,6 +409,16 @@ class UNetModel(nn.Module):
     context_dim: int = 768
     dtype: Dtype = jnp.float32
     fuse_mode: str = "auto"  # auto | never | interpret (see SpatialTransformer)
+    # Per-block rematerialization (jax.checkpoint via nn.remat around every
+    # ResBlock / SpatialTransformer / ViewAlignedFeatureTransformer):
+    # backward stores only block-boundary activations and recomputes each
+    # block's interior, trading ~one extra forward of FLOPs for the
+    # activation footprint. Needed because the flagship TRAIN step does not
+    # otherwise fit one 16 GB v5e chip (f32 masters + AdamW moments are
+    # ~13.3 GB before a single activation; the reference trains on 40 GB
+    # A100s and never faces this, train.py:27-214). Identical math —
+    # parity-tested against the unrematerialized forward AND gradients.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -420,6 +430,12 @@ class UNetModel(nn.Module):
     ) -> jnp.ndarray:
         mc = self.model_channels
         ds_to_level = {1: 0, 2: 1, 4: 2, 8: 3}
+        Res = nn.remat(ResBlock) if self.remat else ResBlock
+        Spatial = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
+        ViewAligned = (
+            nn.remat(ViewAlignedFeatureTransformer) if self.remat
+            else ViewAlignedFeatureTransformer
+        )
 
         t_emb = timestep_embedding(t, mc)
         emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_dense1")(t_emb.astype(self.dtype))
@@ -430,13 +446,13 @@ class UNetModel(nn.Module):
         volume_levels = [v.astype(self.dtype) for v in volume_levels]
 
         def spatial(name, ch):
-            return SpatialTransformer(
+            return Spatial(
                 self.num_heads, ch // self.num_heads, self.transformer_depth,
                 dtype=self.dtype, fuse_mode=self.fuse_mode, name=name
             )
 
         def view_attn(name, ch):
-            return ViewAlignedFeatureTransformer(
+            return ViewAligned(
                 self.num_heads, ch // self.num_heads, self.transformer_depth,
                 dtype=self.dtype, fuse_mode=self.fuse_mode, name=name
             )
@@ -449,7 +465,7 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
                 ch = mult * mc
-                h = ResBlock(ch, dtype=self.dtype, name=f"down_{level}_res_{i}")(h, emb)
+                h = Res(ch, dtype=self.dtype, name=f"down_{level}_res_{i}")(h, emb)
                 if ds in self.attention_resolutions:
                     h = spatial(f"down_{level}_attn_{i}", ch)(h, context)
                 hs.append(h)
@@ -459,10 +475,10 @@ class UNetModel(nn.Module):
                 ds *= 2
 
         # ---- middle block: Res, Spatial, ViewAligned (graft), Res ---------
-        h = ResBlock(ch, dtype=self.dtype, name="mid_res_0")(h, emb)
+        h = Res(ch, dtype=self.dtype, name="mid_res_0")(h, emb)
         h = spatial("mid_attn", ch)(h, context)
         h = view_attn("mid_view_attn", ch)(h, volume_levels[ds_to_level[ds]])
-        h = ResBlock(ch, dtype=self.dtype, name="mid_res_1")(h, emb)
+        h = Res(ch, dtype=self.dtype, name="mid_res_1")(h, emb)
 
         # ---- output blocks: Res [+ Spatial + ViewAligned graft] [+ Up] ----
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -471,7 +487,7 @@ class UNetModel(nn.Module):
                 # chain per piece where exact (no concat materialized)
                 skip = hs.pop()
                 ch = mult * mc
-                h = ResBlock(ch, dtype=self.dtype, name=f"up_{level}_res_{i}")(h, emb, skip)
+                h = Res(ch, dtype=self.dtype, name=f"up_{level}_res_{i}")(h, emb, skip)
                 if ds in self.attention_resolutions:
                     h = spatial(f"up_{level}_attn_{i}", ch)(h, context)
                     h = view_attn(f"up_{level}_view_attn_{i}", ch)(h, volume_levels[ds_to_level[ds]])

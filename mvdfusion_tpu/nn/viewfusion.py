@@ -89,6 +89,9 @@ class ViewFusionConfig:
     # consistency metric (reference claim README.md:11-12, mechanism
     # view_attn_efficient2.py:413-442). Static: zero cost when False.
     ablate_frustum: bool = False
+    # per-block UNet rematerialization for training memory (see
+    # nn/unet.py::UNetModel.remat); identical math, parity-tested
+    unet_remat: bool = False
 
     def tiny(self) -> "ViewFusionConfig":
         """A scaled-down config for tests and CPU dryruns."""
@@ -130,6 +133,7 @@ class ViewFusion(nn.Module):
             context_dim=c.context_dim,
             dtype=c.dtype,
             fuse_mode=c.fuse_mode,
+            remat=c.unet_remat,
         )
         self.vae = AutoencoderKL(
             embed_dim=c.vae_embed_dim,

@@ -62,6 +62,17 @@ class TrainConfig:
     # of the init. The reference has no EMA (it finetunes a pretrained
     # init); a from-scratch run samples far more stably from the average.
     ema_decay: float = 0.0
+    # Storage dtype for the FROZEN towers' master weight matrices (VAE/CLIP
+    # and any other never-updated leaf, per trainable_mask). "auto" stores
+    # them in bf16 when the model computes in bf16 — bit-identical loss,
+    # because those kernels are cast to the compute dtype at every use
+    # anyway — and keeps f32 otherwise (the tiny/small CPU test configs
+    # compute in f32, where bf16 storage WOULD change numerics). Only
+    # ndim>=2 leaves are cast: 1-D scales/biases stay f32 so fp32-island
+    # norms (GroupNorm32/LayerNormFp32) read exact parameters. On the
+    # flagship this is ~0.8 GB of a 16 GB chip; the reference never faces
+    # the question (full-f32 training on 40 GB A100s, train.py:27-214).
+    frozen_master_dtype: str = "auto"  # auto | float32 | bfloat16
 
 
 class TrainState(NamedTuple):
@@ -147,7 +158,20 @@ def make_optimizer(params, tc: TrainConfig) -> optax.GradientTransformation:
     return opt
 
 
-def init_train_state(params, tc: TrainConfig) -> TrainState:
+def init_train_state(params, tc: TrainConfig, model=None) -> TrainState:
+    want = tc.frozen_master_dtype
+    if want == "auto":
+        mdt = getattr(getattr(model, "cfg", None), "dtype", None)
+        want = "bfloat16" if mdt == jnp.bfloat16 else "float32"
+    if want == "bfloat16":
+        mask = trainable_mask(params, tc)
+        params = jax.tree_util.tree_map(
+            lambda p, m: p.astype(jnp.bfloat16)
+            if (not m and hasattr(p, "ndim") and p.ndim >= 2
+                and p.dtype == jnp.float32)
+            else p,
+            params, mask,
+        )
     opt = make_optimizer(params, tc)
     # fresh EMA buffers: train steps donate the state, which would
     # invalidate an ema that merely aliases params

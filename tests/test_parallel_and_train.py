@@ -277,3 +277,70 @@ def test_dryrun_multichip_8dev(monkeypatch):
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_unet_remat_exact_loss_and_grads():
+    """unet_remat=True (nn.remat around every UNet block — the train-memory
+    feature bench.py --train needs on a 16 GB chip) must be pure
+    rematerialization: p_losses value AND gradients bit-match the
+    unrematerialized model with the same params/rng."""
+    from mvdfusion_tpu.geometry import look_at_view_transform
+
+    cfg = ViewFusionConfig().tiny()
+    S, IMG = 4, cfg.latent_size * 4
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(S, IMG, IMG, 3)), jnp.float32)
+    R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=np.linspace(0, 270, S) + 90)
+    f = jnp.full((S, 2), 2.1875)
+    c = jnp.zeros((S, 2))
+    args = (images, R, T, f, c, jnp.asarray([0]), jnp.asarray([1, 2]), jax.random.PRNGKey(7))
+
+    import dataclasses
+
+    base = ViewFusion(cfg)
+    remat = ViewFusion(dataclasses.replace(cfg, unet_remat=True))
+    params = jax.jit(lambda *a: base.init(*a, method=ViewFusion.init_all))(
+        jax.random.PRNGKey(0), *args
+    )
+
+    def loss(model, p):
+        return model.apply(p, *args, method=ViewFusion.p_losses)
+
+    l0, g0 = jax.jit(jax.value_and_grad(lambda p: loss(base, p)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(lambda p: loss(remat, p)))(params)
+    assert float(l0) == float(l1)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frozen_master_dtype_policy():
+    """init_train_state's auto policy: frozen >=2-D leaves go bf16 only when
+    the model computes in bf16; trainable leaves and 1-D scales/biases stay
+    f32 (fp32-island norms read exact parameters); f32-compute models are
+    untouched (CPU test configs must keep exact numerics)."""
+    import dataclasses
+
+    from mvdfusion_tpu.pipeline.trainer import init_train_state
+
+    params = {
+        "params": {
+            "vae": {"k": jnp.ones((4, 4)), "scale": jnp.ones((4,))},
+            "view_attn": {"k": jnp.ones((4, 4))},
+        }
+    }
+    tc = TrainConfig()
+    bf_model = ViewFusion(ViewFusionConfig())  # flagship: dtype=bf16
+    f32_model = ViewFusion(ViewFusionConfig().tiny())  # dtype=f32
+
+    st = init_train_state(params, tc, bf_model)
+    assert st.params["params"]["vae"]["k"].dtype == jnp.bfloat16
+    assert st.params["params"]["vae"]["scale"].dtype == jnp.float32
+    assert st.params["params"]["view_attn"]["k"].dtype == jnp.float32
+
+    st = init_train_state(params, tc, f32_model)
+    assert st.params["params"]["vae"]["k"].dtype == jnp.float32
+    # no model: conservative f32
+    st = init_train_state(params, tc)
+    assert st.params["params"]["vae"]["k"].dtype == jnp.float32
