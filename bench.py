@@ -390,57 +390,55 @@ def main() -> None:
             "unit": "steps/s",
         }
 
-        # Training MFU (VERDICT r2 weak #8), same two numerators as eval:
-        # semantic = the Pallas-disabled twin's fwd+bwd+AdamW FLOPs (a
-        # property of the math); device = the live compiled path incl. each
-        # kernel's declared implementation FLOPs.
+        # Training MFU (VERDICT r2 weak #8): with train_fuse_mode="never"
+        # the DEFAULT train step IS the all-XLA program, so the semantic
+        # FLOP count comes straight from its own lowering — no
+        # Pallas-disabled twin needed. The A/B below measures the OTHER
+        # path (kernels inside the train step, train_fuse_mode="model") to
+        # keep the remat verdict a standing measurement: round-4 v5e,
+        # all-XLA 6.22 steps/s vs fused-in-train 5.76 — the fused kernels'
+        # custom VJPs rematerialize their backward through the XLA twin, so
+        # training pays kernel-fwd + twin-fwd + twin-bwd; that verdict is
+        # why "never" is the default (pipeline/trainer.py).
         try:
-            os.environ["MVDF_DISABLE_PALLAS"] = "1"
-            try:
-                step_x = jax.jit(make_train_step(model, tc), donate_argnums=(0,))
-                sem_fl = _flops(step_x.lower(abs_state, batch, jax.random.PRNGKey(0)))
-                # Remat verdict: every fused kernel's custom VJP
-                # rematerializes its backward through the XLA twin
-                # (ops/block.py, crossview.py), so the backward gets NO
-                # kernel speedup and re-pays the fwd. Measure the all-XLA
-                # twin step (fwd AND bwd on the XLA path) — if it is not
-                # slower, the kernels' training value is zero and the remat
-                # overhead is the whole story. (env stays set through the
-                # first call so the trace takes the XLA path)
-                del state  # free the fused path's donated-through state
-                _, params2, *_ = build(_dc.replace(cfg, unet_remat=True), 5, img, tag + "-twin")
-                st, ls = step_x(
-                    init_train_state(params2, tc, model), batch, jax.random.PRNGKey(0)
-                )
-                del params2
-                _ = float(ls)
-                tx = []
-                for i in range(5):
-                    t0 = time.time()
-                    st, ls = step_x(st, batch, jax.random.PRNGKey(1 + i))
-                    _ = float(ls)
-                    tx.append(time.time() - t0)
-                sps_x = 1.0 / sorted(tx)[len(tx) // 2]
-                del st
-            finally:
-                del os.environ["MVDF_DISABLE_PALLAS"]
+            sem_fl = _flops(step.lower(abs_state, batch, jax.random.PRNGKey(0)))
             sem_mfu = sem_fl / 1e12 * sps / peak if peak else float("nan")
             log(
                 f"[bench:{tag}] semantic_flops={sem_fl/1e12:.2f} TFLOP/step "
                 f"achieved={sem_fl/1e12*sps:.1f} TFLOP/s MFU={sem_mfu*100:.1f}% (headline)"
             )
-            verdict = (
-                "fused kernels WIN the train step" if sps > sps_x * 1.02
-                else "all-XLA twin matches/beats the fused path (remat overhead eats the fwd win)"
-            )
-            log(
-                f"[bench:{tag}] all-XLA twin steps/s={sps_x:.2f} vs fused {sps:.2f} "
-                f"-> {verdict}"
-            )
             result.update(
                 semantic_tflop_per_step=round(sem_fl / 1e12, 3),
                 semantic_mfu_pct=round(sem_mfu * 100, 2),
-                xla_twin_steps_per_sec=round(sps_x, 3),
+            )
+            tc_fused = _dc.replace(tc, train_fuse_mode="model")
+            step_f = jax.jit(make_train_step(model, tc_fused), donate_argnums=(0,))
+            del state  # free the default path's donated-through state
+            _, params2, *_ = build(_dc.replace(cfg, unet_remat=True), 5, img, tag + "-fused")
+            st, ls = step_f(
+                init_train_state(params2, tc_fused, model), batch, jax.random.PRNGKey(0)
+            )
+            del params2
+            _ = float(ls)
+            tx = []
+            for i in range(5):
+                t0 = time.time()
+                st, ls = step_f(st, batch, jax.random.PRNGKey(1 + i))
+                _ = float(ls)
+                tx.append(time.time() - t0)
+            sps_f = 1.0 / sorted(tx)[len(tx) // 2]
+            del st
+            verdict = (
+                "fused-in-train WINS - flip trainer default" if sps_f > sps * 1.02
+                else "all-XLA train step matches/beats fused-in-train "
+                     "(custom-VJP remat re-pays the forward) - default stands"
+            )
+            log(
+                f"[bench:{tag}] fused-in-train steps/s={sps_f:.2f} vs default "
+                f"(all-XLA) {sps:.2f} -> {verdict}"
+            )
+            result.update(
+                fused_in_train_steps_per_sec=round(sps_f, 3),
                 remat_verdict=verdict,
             )
         except Exception as e:  # pragma: no cover

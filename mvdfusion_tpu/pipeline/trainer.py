@@ -73,6 +73,16 @@ class TrainConfig:
     # flagship this is ~0.8 GB of a 16 GB chip; the reference never faces
     # the question (full-f32 training on 40 GB A100s, train.py:27-214).
     frozen_master_dtype: str = "auto"  # auto | float32 | bfloat16
+    # Pallas dispatch INSIDE the train step. "never" (default): the train
+    # step runs the plain-XLA path even where the sampling path fuses —
+    # measured on v5e (bench.py --train, TRAIN_BENCH.json round 4): all-XLA
+    # 6.22 steps/s vs fused 5.76. The fused kernels' custom VJPs
+    # rematerialize their backward through the XLA twin, so training pays
+    # kernel-fwd + twin-fwd + twin-bwd; XLA-everywhere pays twin-fwd once
+    # and lets the compiler share fwd/bwd work. The 50-step SAMPLER (no
+    # gradients) keeps the kernels, where they win +12 ms/step. "model":
+    # inherit the model's own fuse_mode (kernel-in-train tests, A/B).
+    train_fuse_mode: str = "never"  # never | model
 
 
 class TrainState(NamedTuple):
@@ -225,6 +235,12 @@ def scene_batch_loss(
 
 def make_train_step(model: ViewFusion, tc: TrainConfig):
     """Returns a jittable (state, batch, rng) -> (state, loss)."""
+    if tc.train_fuse_mode != "model" and model.cfg.fuse_mode != tc.train_fuse_mode:
+        import dataclasses
+
+        model = ViewFusion(
+            dataclasses.replace(model.cfg, fuse_mode=tc.train_fuse_mode)
+        )
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         optimizer = make_optimizer(state.params, tc)
