@@ -127,12 +127,22 @@ def main(argv=None):
     base_key = jax.random.PRNGKey(args.seed)
     unnorm = lambda d: np.clip((np.asarray(d) + 1) / 2, 0, 1)
     t_start = time.time()
-    all_psnr, all_ssim = [], []
+    scene_metrics = []
 
     def report(scene, out, done):
         """Write artifacts + quality metrics for one scene's outputs
-        (process 0 only under --multihost)."""
-        from mvdfusion_tpu.utils.metrics import psnr, ssim
+        (process 0 only under --multihost).
+
+        Beyond PSNR/SSIM/perceptual distance vs GT, this reports the
+        paper's headline property — cross-view consistency of the GENERATED
+        RGB-D (reference README.md:11-12; the artifacts demo.py:85-147
+        exists to show) — by reprojection at latent resolution
+        (utils/metrics.cross_view_consistency): photo_mae over depth-agreeing
+        reprojections, depth_agree_rate, covis_frac."""
+        from mvdfusion_tpu.ops.image import area_downsample
+        from mvdfusion_tpu.utils.metrics import (
+            cross_view_consistency, perceptual_distance, psnr, ssim,
+        )
 
         if not is_proc0:
             return
@@ -145,11 +155,36 @@ def main(argv=None):
         )
         p = psnr(out["pred_rgb"], out["gt_rgb"])
         s = ssim(np.asarray(out["pred_rgb"]), np.asarray(out["gt_rgb"]))
-        all_psnr.append(p)
-        all_ssim.append(s)
+        percep = perceptual_distance(out["pred_rgb"], out["gt_rgb"])
+        # consistency of generated RGB-D at latent resolution: the depth
+        # channel already lives there; RGB is area-downsampled to match.
+        # Absolute target cameras are equivalent to prepare_batch's relative
+        # ones here (view-space z is invariant to the global rigid shift).
+        pred_depth = np.asarray(out["pred_depth"])
+        hw = pred_depth.shape[1]
+        factor = out["pred_rgb"].shape[1] // hw
+        rgb_lr = np.asarray(
+            area_downsample(jnp.asarray(np.asarray(out["pred_rgb"])), factor)
+        )
+        tgt = np.asarray(target_idx)
+        cons = cross_view_consistency(
+            rgb_lr, pred_depth,
+            np.asarray(scene["R"])[tgt], np.asarray(scene["T"])[tgt],
+            np.asarray(scene["f"])[tgt], np.asarray(scene["c"])[tgt],
+        )
+        scene_metrics.append(
+            dict(
+                scene=str(scene["idx"]), psnr=p, ssim=s, perceptual=percep,
+                photo_mae=cons["photo_mae"],
+                depth_agree_rate=cons["depth_agree_rate"],
+                covis_frac=cons["covis_frac"],
+            )
+        )
         eta = (time.time() - t_start) / done * (eval_num - done)
         print(
-            f"[demo] scene {scene['idx']} -> {jpg}  psnr {p:.2f} ssim {s:.3f}"
+            f"[demo] scene {scene['idx']} -> {jpg}  psnr {p:.2f} ssim {s:.3f} "
+            f"percep {percep:.3f}  cons(photo {cons['photo_mae']:.4f} "
+            f"agree {cons['depth_agree_rate']:.3f} covis {cons['covis_frac']:.3f})"
             f"  [{done}/{eval_num}, eta {eta:.0f}s]"
         )
 
@@ -213,11 +248,20 @@ def main(argv=None):
             }
             report(scene, out, i + 1)
 
-    if all_psnr:
+    if scene_metrics:
+        keys = ("psnr", "ssim", "perceptual", "photo_mae", "depth_agree_rate", "covis_frac")
+        summary = {k: float(np.mean([m[k] for m in scene_metrics])) for k in keys}
         print(
-            f"[demo] mean over {len(all_psnr)} scenes: psnr {np.mean(all_psnr):.2f} "
-            f"ssim {np.mean(all_ssim):.3f}"
+            f"[demo] mean over {len(scene_metrics)} scenes: "
+            f"psnr {summary['psnr']:.2f} ssim {summary['ssim']:.3f} "
+            f"percep {summary['perceptual']:.3f} cons(photo {summary['photo_mae']:.4f} "
+            f"agree {summary['depth_agree_rate']:.3f} covis {summary['covis_frac']:.3f})"
         )
+        import json
+
+        with open(os.path.join(save_dir, "metrics.json"), "w") as fp:
+            json.dump({"scenes": scene_metrics, "summary": summary}, fp, indent=2)
+        print(f"[demo] metrics -> {os.path.join(save_dir, 'metrics.json')}")
 
 
 if __name__ == "__main__":

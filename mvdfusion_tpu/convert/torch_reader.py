@@ -18,9 +18,16 @@ storage_offset views, and SHARED storages (several tensors viewing one
 payload — each is materialised as its own contiguous array, exactly like
 `tensor.numpy()` after torch.load).
 
-TorchScript archives (the CLIP `clip_vit_14.ckpt`) serialize a module tree,
-not a state_dict — `read_torch_checkpoint` raises a clear error for those;
-`convert/torch_to_flax.py` keeps the torch.jit branch for them.
+TorchScript archives (the CLIP `clip_vit_14.ckpt`; the reference loads it
+with `clip.load` -> torch.jit, encoders/modules.py:414) serialize a scripted
+MODULE TREE, not a state_dict: the zip holds `constants.pkl` + `code/` next
+to `data.pkl`, and data.pkl's root is an object graph of `__torch__.*`
+classes whose tensor-valued attributes ARE the parameters/buffers, stored
+through the same persistent-id storage machinery as torch.save. The
+torchscript branch here unpickles that graph with inert stand-in classes and
+flattens every tensor attribute to its dotted path — exactly the names
+`torch.jit.load(path).state_dict()` reports — so CLIP conversion needs no
+torch install either.
 
 Everything returns numpy arrays; bf16 payloads are widened to float32 (numpy
 has no bfloat16).
@@ -175,21 +182,86 @@ class _Unpickler(pickle.Unpickler):
         return self.storages[key]
 
 
+class _ScriptObject:
+    """Inert stand-in for a `__torch__.*` scripted class: pickle NEWOBJ makes
+    an empty instance, BUILD lands the attribute dict (insertion-ordered —
+    the TorchScript pickler writes attributes in definition order)."""
+
+    _qualname = "?"
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:  # custom __getstate__ forms (quantized etc.): keep raw
+            self.__dict__["_raw_state"] = state
+
+
+class _ScriptUnpickler(_Unpickler):
+    """data.pkl / constants.pkl of a torch.jit.save archive."""
+
+    _class_cache: Dict[Tuple[str, str], type] = {}
+
+    def find_class(self, module: str, name: str):
+        if module.startswith("__torch__"):
+            key = (module, name)
+            cls = self._class_cache.get(key)
+            if cls is None:
+                cls = type(name, (_ScriptObject,), {"_qualname": f"{module}.{name}"})
+                self._class_cache[key] = cls
+            return cls
+        if module == "torch.jit._pickle":
+            # list/annotation builders the jit pickler emits for constants
+            if name == "restore_type_tag":
+                return lambda value, _ty: value
+            if name.startswith("build_"):
+                return lambda data: data
+        return super().find_class(module, name)
+
+
+def _flatten_script_tree(obj: Any, prefix: str = "") -> Dict[str, "_Tensor"]:
+    """Dotted-path tensors of a _ScriptObject graph == jit state_dict keys
+    (module lists are objects with '0','1',... attributes, so indices join
+    with '.' exactly like torch's state_dict naming)."""
+    out: Dict[str, _Tensor] = {}
+    items = (
+        vars(obj).items() if isinstance(obj, _ScriptObject)
+        else obj.items() if isinstance(obj, dict)
+        else enumerate(obj) if isinstance(obj, (list, tuple))
+        else ()
+    )
+    for k, v in items:
+        name = f"{prefix}{k}"
+        if isinstance(v, _Tensor):
+            out[name] = v
+        elif isinstance(v, (_ScriptObject, dict, list, tuple)):
+            out.update(_flatten_script_tree(v, name + "."))
+    return out
+
+
+def _read_torchscript(zf: zipfile.ZipFile, prefix: str, fetch) -> Dict[str, "_Tensor"]:
+    with zf.open(f"{prefix}data.pkl") as f:
+        root = _ScriptUnpickler(io.BytesIO(f.read()), fetch).load()
+    state = _flatten_script_tree(root)
+    if not state:
+        raise ValueError(
+            "torchscript archive yielded no tensors — unsupported serialization form"
+        )
+    return state
+
+
 def _read_zip(path: str) -> Any:
     zf = zipfile.ZipFile(path)
     names = zf.namelist()
     pkls = [n for n in names if n.endswith("/data.pkl") or n == "data.pkl"]
     if not pkls:
         raise ValueError(f"{path}: zip archive without data.pkl — not a torch checkpoint")
-    if any(n.endswith("constants.pkl") for n in names):
-        raise ValueError(
-            f"{path}: TorchScript archive (holds a scripted module, not a "
-            "state_dict) — use the torch.jit loader branch"
-        )
     prefix = pkls[0][: -len("data.pkl")]
 
     def fetch(key: str) -> bytes:
         return zf.read(f"{prefix}data/{key}")
+
+    if any(n.endswith("constants.pkl") for n in names):
+        return _read_torchscript(zf, prefix, fetch)
 
     with zf.open(pkls[0]) as f:
         return _Unpickler(io.BytesIO(f.read()), fetch).load()
@@ -222,8 +294,10 @@ def _read_legacy(path: str) -> Any:
 
 
 def read_torch_checkpoint(path: str) -> Any:
-    """Parse a torch.save file without torch. Returns the pickled object with
-    every tensor as a `_Tensor` (materialise with np.asarray / .numpy())."""
+    """Parse a torch.save / torch.jit.save file without torch. Returns the
+    pickled object (for torch.jit archives: the flat state-dict of the
+    scripted module tree) with every tensor as a `_Tensor` (materialise with
+    np.asarray / .numpy())."""
     if zipfile.is_zipfile(path):
         return _read_zip(path)
     return _read_legacy(path)

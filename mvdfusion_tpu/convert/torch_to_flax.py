@@ -53,14 +53,15 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     torch is optional (SURVEY.md §7.2): without a torch install the native
     zipfile/pickle reader (convert/torch_reader.py) parses both torch.save
     formats — incl. fp16/bf16 storages, stride/offset views and shared
-    storages — and only TorchScript archives (which serialize a scripted
-    module, not a state_dict) still require torch.jit."""
+    storages — AND TorchScript archives (the CLIP artifact), whose scripted
+    module tree it flattens to the same dotted state-dict keys
+    torch.jit.load().state_dict() reports. Conversion is fully torch-free."""
     try:
         import torch
     except ImportError:
         from mvdfusion_tpu.convert.torch_reader import read_torch_checkpoint
 
-        obj = read_torch_checkpoint(path)  # raises clearly on torchscript
+        obj = read_torch_checkpoint(path)
     else:
         try:
             obj = torch.load(path, map_location="cpu", weights_only=False)

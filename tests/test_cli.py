@@ -65,6 +65,15 @@ def test_demo_cli_writes_artifacts(fake_gso, tmp_path):
     assert any(f.endswith(".jpg") for f in files), files
     assert any(f.endswith(".gif") for f in files), files
     assert any(f.endswith("_depth.npy") for f in files), files
+    # the metrics artifact carries quality AND the paper's headline
+    # cross-view-consistency keys (reference README.md:11-12), per scene
+    # and in the summary
+    with open(os.path.join(vis, "metrics.json")) as fp:
+        metrics = json.load(fp)
+    for key in ("psnr", "ssim", "perceptual", "photo_mae", "depth_agree_rate", "covis_frac"):
+        assert key in metrics["summary"], (key, metrics["summary"])
+        assert key in metrics["scenes"][0], (key, metrics["scenes"][0])
+    assert len(metrics["scenes"]) == 1
 
 
 def test_train_cli_steps_and_resume(fake_gso, tmp_path):

@@ -67,12 +67,65 @@ def test_legacy_format(tmp_path):
     _assert_matches(got, state)
 
 
-def test_torchscript_rejected_clearly(tmp_path):
-    mod = torch.jit.script(torch.nn.Linear(3, 2))
+def test_torchscript_archive_reads_state_dict(tmp_path):
+    """torch.jit.save archives (the CLIP artifact's on-disk form,
+    encoders/modules.py:414) parse to the exact state_dict torch.jit.load
+    reports — keys, shapes, and bytes."""
+    mod = torch.jit.script(
+        torch.nn.Sequential(
+            torch.nn.Linear(3, 4), torch.nn.LayerNorm(4), torch.nn.Linear(4, 2)
+        )
+    )
     p = os.path.join(tmp_path, "scripted.pt")
     torch.jit.save(mod, p)
-    with pytest.raises(ValueError, match="TorchScript"):
-        read_torch_checkpoint(p)
+    got = read_torch_checkpoint(p)
+    ref = {k: v.numpy() for k, v in torch.jit.load(p).state_dict().items()}
+    assert set(got) == set(ref), (sorted(got), sorted(ref))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got[k]), ref[k], err_msg=k)
+
+
+def test_torchscript_clip_tower_end_to_end_without_torch(tmp_path, monkeypatch):
+    """VERDICT r4 #7: the CLIP checkpoint converts with NO torch install.
+    A traced CLIP-visual-shaped module (tests/torch_ref.CLIPVisual under a
+    `visual` attribute, matching the OpenAI archive layout) round-trips
+    through load_torch_state with torch imports blocked, then lands in the
+    flax tower via clip_mapping."""
+    from tests import torch_ref
+    from mvdfusion_tpu.convert import torch_to_flax
+
+    class Wrapper(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual = torch_ref.randomize_(
+                torch_ref.CLIPVisual(width=32, layers=2, heads=4, output_dim=16),
+                std=0.04, seed=3,
+            )
+
+        def forward(self, x):
+            return self.visual(x)
+
+    mod = Wrapper().eval()
+    with torch.no_grad():
+        traced = torch.jit.trace(mod, torch.randn(1, 3, 224, 224))
+    p = os.path.join(tmp_path, "clip_like.pt")
+    torch.jit.save(traced, p)
+    ref = {k: v.numpy() for k, v in torch.jit.load(p).state_dict().items()}
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **kw):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("torch intentionally unavailable")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    got = torch_to_flax.load_torch_state(p)
+    monkeypatch.setattr(builtins, "__import__", real_import)
+    assert set(got) == set(ref), (sorted(got)[:5], sorted(ref)[:5])
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+    assert any(k.startswith("visual.") for k in got)
 
 
 def test_load_torch_state_without_torch(tmp_path, monkeypatch):
