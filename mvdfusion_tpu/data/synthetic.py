@@ -50,7 +50,16 @@ def metric_to_stored(z: np.ndarray) -> np.ndarray:
 
 
 class SyntheticScenes:
-    """n_scenes procedurally-seeded sphere scenes, 16 fixed views each."""
+    """n_scenes procedurally-seeded analytic scenes, 16 fixed views each.
+
+    family="spheres" (default): colored Lambertian spheres — bit-stable
+    with the original learning-proof dataset.
+    family="mixed": spheres + axis-aligned boxes + capped y-axis cylinders
+    (all closed-form ray intersections with exact normals/depth), with the
+    first two primitives placed in guaranteed CONTACT so every scene has
+    occlusion-contact edges — flat faces, straight silhouettes and hard
+    depth discontinuities the sphere family lacks (VERDICT r4 weak #7).
+    """
 
     n_views = 16
 
@@ -61,11 +70,14 @@ class SyntheticScenes:
         seed: int = 0,
         n_spheres: int = 3,
         textured: bool = False,
+        family: str = "spheres",
     ):
+        assert family in ("spheres", "mixed"), family
         self.n_scenes = n_scenes
         self.image_size = image_size
         self.seed = seed
         self.n_spheres = n_spheres
+        self.family = family
         # textured=True modulates each sphere's albedo by a smooth analytic
         # lat/long sinusoid (view-consistent: a function of the surface
         # point only). Gives every pose a distinctive appearance — constant-
@@ -116,14 +128,181 @@ class SyntheticScenes:
         phase = rng.uniform(0.0, 2 * np.pi, size=(k,)).astype(np.float32)
         return centers.astype(np.float32), radii.astype(np.float32), colors, tex, phase
 
+    # ---- mixed family: spheres + boxes + capped cylinders ----------------
+
+    def scene_params_mixed(self, index: int):
+        """Primitive types (K,), centers (K,3), sizes (K,3), colors (K,3),
+        texture freqs/phases for scene `index`; types: 0 sphere (sizes[:,0]
+        = radius), 1 axis-aligned box (sizes = half-extents), 2 y-axis
+        capped cylinder (sizes[:,0] = radius, sizes[:,1] = half-height).
+        Primitives 0 and 1 are placed in contact (bounding spheres
+        overlapping ~15%) so every scene has an occlusion-contact edge."""
+        rng = np.random.default_rng(self.seed * 10_007 + 7919 * (index + 1))
+        k = self.n_spheres
+        types = rng.integers(0, 3, size=k)
+        if (types == 0).all():  # guarantee at least one flat-faced primitive
+            types[int(rng.integers(0, k))] = 1 + int(rng.integers(0, 2))
+        u = rng.normal(size=(k, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        centers = (u * rng.uniform(0.05, 0.30, size=(k, 1))).astype(np.float32)
+        sizes = rng.uniform(0.10, 0.22, size=(k, 3)).astype(np.float32)
+        colors = _PALETTE[rng.choice(len(_PALETTE), size=k, replace=False)]
+        tex = rng.integers(2, 5, size=(k, 2)).astype(np.float32)
+        phase = rng.uniform(0.0, 2 * np.pi, size=(k,)).astype(np.float32)
+
+        def bound(i):  # bounding-sphere radius per primitive
+            if types[i] == 0:
+                return sizes[i, 0]
+            if types[i] == 1:
+                return float(np.linalg.norm(sizes[i]))
+            return float(np.hypot(sizes[i, 0], sizes[i, 1]))
+
+        if k >= 2:  # contact pair
+            dirn = rng.normal(size=3)
+            dirn /= np.linalg.norm(dirn)
+            centers[1] = centers[0] + (0.85 * (bound(0) + bound(1)) * dirn).astype(
+                np.float32
+            )
+        # keep everything in frame (rig half-FOV ~0.68 at the origin plane)
+        lim = 0.45
+        centers = np.clip(centers, -lim, lim)
+        return types, centers, sizes, colors, tex, phase
+
+    @staticmethod
+    def _intersect_sphere(o, d, c, r):
+        oc = o - c
+        a = np.sum(d * d, axis=-1)
+        b = 2.0 * np.sum(d * oc, axis=-1)
+        cc = np.sum(oc * oc, axis=-1) - r * r
+        disc = b * b - 4.0 * a * cc
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t = (-b - sq) / (2.0 * a)
+        valid = (disc > 0.0) & (t > 1e-3)
+        pts = o + d * t[..., None]
+        n = (pts - c) / r
+        return t, n, valid
+
+    @staticmethod
+    def _intersect_box(o, d, c, h):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / d
+            t1 = (c - h - o) * inv
+            t2 = (c + h - o) * inv
+        tlo = np.nan_to_num(np.minimum(t1, t2), nan=-np.inf)
+        thi = np.nan_to_num(np.maximum(t1, t2), nan=np.inf)
+        tmin = tlo.max(axis=-1)
+        tmax = thi.min(axis=-1)
+        valid = (tmax > tmin) & (tmin > 1e-3)
+        axis = np.argmax(tlo, axis=-1)  # face attaining the entry t
+        n = -np.sign(np.take_along_axis(d, axis[..., None], axis=-1)) * np.eye(
+            3, dtype=np.float32
+        )[axis]
+        return tmin, n.astype(np.float32), valid
+
+    @staticmethod
+    def _intersect_cylinder(o, d, c, r, hh):
+        o2 = o - c
+        a = d[..., 0] ** 2 + d[..., 2] ** 2
+        b = 2.0 * (o2[..., 0] * d[..., 0] + o2[..., 2] * d[..., 2])
+        cc = o2[..., 0] ** 2 + o2[..., 2] ** 2 - r * r
+        disc = b * b - 4.0 * a * cc
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_side = (-b - sq) / (2.0 * a)
+            t_top = (hh - o2[..., 1]) / d[..., 1]
+            t_bot = (-hh - o2[..., 1]) / d[..., 1]
+        y_side = o2[..., 1] + t_side * d[..., 1]
+        ok_side = (disc > 0.0) & (t_side > 1e-3) & (np.abs(y_side) <= hh)
+        ok_side &= np.isfinite(t_side)
+
+        def cap_ok(t):
+            with np.errstate(invalid="ignore"):
+                x = o2[..., 0] + t * d[..., 0]
+                z = o2[..., 2] + t * d[..., 2]
+                inside = x * x + z * z <= r * r
+            return np.isfinite(t) & (t > 1e-3) & inside
+
+        ok_top, ok_bot = cap_ok(t_top), cap_ok(t_bot)
+        big = np.float32(np.inf)
+        ts = np.stack(
+            [
+                np.where(ok_side, t_side, big),
+                np.where(ok_top, t_top, big),
+                np.where(ok_bot, t_bot, big),
+            ]
+        )
+        which = np.argmin(ts, axis=0)
+        t = np.take_along_axis(ts, which[None], axis=0)[0]
+        valid = np.isfinite(t)
+        t_safe = np.where(valid, t, 1.0)
+        pts = o2 + d * t_safe[..., None]
+        n_side = np.stack(
+            [pts[..., 0] / r, np.zeros_like(t), pts[..., 2] / r], axis=-1
+        )
+        n_cap = np.zeros_like(n_side)
+        n_cap[..., 1] = np.where(which == 1, 1.0, -1.0)
+        n = np.where((which == 0)[..., None], n_side, n_cap)
+        return t, n.astype(np.float32), valid
+
+    def _render_mixed(self, index: int):
+        types, centers, sizes, colors, tex, phase = self.scene_params_mixed(index)
+        o, d = self._rays
+        V, H, W, _ = o.shape
+        t_best = np.full((V, H, W), np.inf, np.float32)
+        hit_idx = np.full((V, H, W), -1, np.int32)
+        n_best = np.zeros((V, H, W, 3), np.float32)
+        for k in range(len(types)):
+            if types[k] == 0:
+                t, n, valid = self._intersect_sphere(o, d, centers[k], sizes[k, 0])
+            elif types[k] == 1:
+                t, n, valid = self._intersect_box(o, d, centers[k], sizes[k])
+            else:
+                t, n, valid = self._intersect_cylinder(
+                    o, d, centers[k], sizes[k, 0], sizes[k, 1]
+                )
+            closer = valid & (t < t_best)
+            t_best = np.where(closer, t, t_best)
+            hit_idx = np.where(closer, k, hit_idx)
+            n_best = np.where(closer[..., None], n, n_best)
+
+        mask = hit_idx >= 0
+        t_safe = np.where(
+            mask, t_best, DEPTH_SHIFT + DEPTH_SCALE * BACKGROUND_STORED_DEPTH
+        )
+        pts = o + d * t_safe[..., None]
+        img = np.ones((V, H, W, 3), np.float32)
+        for k in range(len(types)):
+            sel = hit_idx == k
+            if not sel.any():
+                continue
+            n = n_best[sel]
+            albedo = colors[k]
+            if self.textured:
+                # smooth world-space bands over the surface point: a pure
+                # function of the surface point, so all views agree exactly.
+                # Frequencies ~tex*10 rad/unit keep the wavelength >= ~6 px
+                # at 64^2 over the ~1.4-unit frame (below Nyquist).
+                p = pts[sel] - centers[k]
+                m = 0.5 + 0.5 * np.sin(tex[k, 0] * 10.0 * p[:, 0] + phase[k]) * np.cos(
+                    tex[k, 1] * 10.0 * p[:, 1]
+                )
+                albedo = colors[k] * (0.45 + 0.55 * m[:, None])
+            lam = np.maximum(n @ _LIGHT, 0.0)
+            img[sel] = albedo * (0.35 + 0.65 * lam[:, None])
+        img = np.clip(img, 0.0, 1.0)
+        stored = np.clip(metric_to_stored(t_safe), 0.0, 1.0).astype(np.float32)
+        return img, stored[..., None], mask[..., None].astype(np.float32)
+
     def render(self, index: int):
         """Analytic render of scene `index` for all 16 views.
 
         Returns (images (V,H,W,3), stored_depth (V,H,W,1), mask (V,H,W,1)).
         Ray param t IS the view-space depth (geometry/rays.py: directions
-        are z-depth-normalised), so sphere intersection yields metric depth
-        directly.
+        are z-depth-normalised), so primitive intersection yields metric
+        depth directly.
         """
+        if self.family == "mixed":
+            return self._render_mixed(index)
         centers, radii, colors, tex, phase = self.scene_params(index)
         o, d = self._rays  # (V, H, W, 3) each
         V, H, W, _ = o.shape

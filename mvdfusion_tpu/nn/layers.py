@@ -69,23 +69,56 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, x2: Optional[jnp.ndarray] = None):
         """GroupNorm over x, or — with `x2` — over the *virtual concat*
-        [x ‖ x2] without materializing it: parameters are sized C1+C2 and
-        each piece is normalized with its slice of the groups. Exact when
-        no group straddles the seam (every group lies wholly in one piece:
-        C1 % ((C1+C2)//num_groups) == 0), which the caller must ensure.
-        Returns (y1, y2) in that case. Used by the split-skip ResBlock to
-        keep up-path skip concats out of the conv input path."""
+        [x ‖ x2] without materializing it: parameters are sized C1+C2,
+        per-channel spatial moments are computed per piece and combined
+        into group statistics at the tiny (B, C) level, so the result is
+        EXACT for any split — including groups that straddle the seam
+        (earlier rounds' split form required seam alignment, which silently
+        excluded exactly the unaligned 960/1920-channel up-path sites the
+        profile flags as conv-emitter outliers). Returns (y1, y2). Used by
+        the split-skip ResBlock to keep up-path skip concats out of the
+        conv input path."""
         C1 = x.shape[-1]
         C = C1 + (x2.shape[-1] if x2 is not None else 0)
         scale, bias = _ScaleBias(C, name="GroupNorm_0")()
         if x2 is not None:
-            gw = C // self.num_groups
-            assert C % self.num_groups == 0 and C1 % gw == 0, (C1, C, self.num_groups)
-            g1 = C1 // gw
-            y1 = self._norm_one(x, scale[:C1], bias[:C1], g1)
-            y2 = self._norm_one(x2, scale[C1:], bias[C1:], self.num_groups - g1)
-            return y1, y2
+            return self._norm_pieces((x, x2), scale, bias)
         return self._norm_one(x, scale, bias, self.num_groups)
+
+    def _norm_pieces(self, pieces, scale, bias):
+        """Exact GroupNorm over the virtual concat of `pieces` (along the
+        channel axis) without materializing it; any seam position."""
+        C = sum(p.shape[-1] for p in pieces)
+        G = self.num_groups
+        assert C % G == 0, (C, G)
+        Cg = C // G
+        B = pieces[0].shape[0]
+        p32 = [p.astype(jnp.float32) for p in pieces]
+        sp = tuple(range(1, p32[0].ndim - 1))
+        s1 = jnp.concatenate([jnp.mean(p, axis=sp) for p in p32], axis=-1)  # (B, C)
+        s2 = jnp.concatenate(
+            [jnp.mean(jnp.square(p), axis=sp) for p in p32], axis=-1
+        )
+        mu_g = s1.reshape(B, G, Cg).mean(-1)
+        var_g = jnp.maximum(s2.reshape(B, G, Cg).mean(-1) - jnp.square(mu_g), 0.0)
+        mu_c = jnp.repeat(mu_g, Cg, axis=-1)  # (B, C) per-channel broadcast
+        inv_c = jnp.repeat(jax.lax.rsqrt(var_g + self.epsilon), Cg, axis=-1)
+        outs = []
+        off = 0
+        for orig, p in zip(pieces, p32):
+            Ck = p.shape[-1]
+            bshape = (B,) + (1,) * (p.ndim - 2) + (Ck,)
+            y = (p - mu_c[:, off : off + Ck].reshape(bshape)) * inv_c[
+                :, off : off + Ck
+            ].reshape(bshape)
+            y = y * scale[off : off + Ck].astype(jnp.float32) + bias[
+                off : off + Ck
+            ].astype(jnp.float32)
+            if self.act == "silu":
+                y = y * jax.nn.sigmoid(y)
+            outs.append(y.astype(orig.dtype))
+            off += Ck
+        return tuple(outs)
 
     def _norm_one(self, x, scale, bias, num_groups: int) -> jnp.ndarray:
         from mvdfusion_tpu.ops.groupnorm import group_norm_act, should_fuse_gn
@@ -97,17 +130,34 @@ class GroupNorm32(nn.Module):
                 num_groups, self.epsilon, self.act,
             )
             return y.reshape(x.shape)
-        xs = x.astype(jnp.float32).reshape(*x.shape[:-1], num_groups, C // num_groups)
-        red = tuple(range(1, xs.ndim - 2)) + (xs.ndim - 1,)
-        mu = jnp.mean(xs, axis=red, keepdims=True)
+        # Stats in two stages: per-CHANNEL spatial moments first (reduces
+        # only the major/sublane spatial axes at full lane width — XLA:TPU
+        # lowers a reduce over a minor-split (G, C/G) reshape as a
+        # lane-strided pass at ~37 GB/s; the 256^2 VAE-decoder GN stats
+        # alone were ~6 ms of the 37 ms decode, round-5 trace), then the
+        # per-group combine on the tiny (B, C) moment tensors. Same mean /
+        # E[x^2]-mu^2 math, f32 accumulation throughout, equal counts per
+        # channel -> identical up to f32 reassociation.
+        B = x.shape[0]
+        Cg = C // num_groups
+        x32 = x.astype(jnp.float32)
+        sp = tuple(range(1, x32.ndim - 1))
+        s1 = jnp.mean(x32, axis=sp)  # (B, C)
+        s2 = jnp.mean(jnp.square(x32), axis=sp)  # (B, C)
+        mu_g = s1.reshape(B, num_groups, Cg).mean(-1)  # (B, G)
         # clamp: E[x^2]-mu^2 can go (slightly) negative under f32
         # cancellation at large activations -> rsqrt(neg) -> NaN poisons the
         # whole sample (observed once per ~16 eta=1.0 from-scratch
         # trajectories, always at the final t=1 step); exact when var >= 0
-        var = jnp.maximum(
-            jnp.mean(jnp.square(xs), axis=red, keepdims=True) - jnp.square(mu), 0.0
+        var_g = jnp.maximum(
+            s2.reshape(B, num_groups, Cg).mean(-1) - jnp.square(mu_g), 0.0
         )
-        y = ((xs - mu) * jax.lax.rsqrt(var + self.epsilon)).reshape(x.shape)
+        bshape = (B,) + (1,) * (x32.ndim - 2) + (C,)
+        mu = jnp.repeat(mu_g, Cg, axis=-1).reshape(bshape)
+        inv = jnp.repeat(
+            jax.lax.rsqrt(var_g + self.epsilon), Cg, axis=-1
+        ).reshape(bshape)
+        y = (x32 - mu) * inv
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         if self.act == "silu":
             y = y * jax.nn.sigmoid(y)

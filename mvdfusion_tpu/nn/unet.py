@@ -32,13 +32,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _SPLIT_SKIP_DISABLED() -> bool:
-    """A/B gate for the split-skip ResBlock form (MVDF_SPLIT_SKIP=1 enables).
-    Default OFF — measured a wash on v5e (step device time 31.9 vs 32.0 ms;
-    each split conv carries the same per-conv emitter overhead, so avoiding
-    the concat bought nothing — ARCHITECTURE.md §5 negative results). Kept
-    behind the env var with a parity test as the measured record."""
-    return os.environ.get("MVDF_SPLIT_SKIP", "0") != "1"
+def _split_skip_mode() -> str:
+    """Split-skip ResBlock policy (MVDF_SPLIT_SKIP):
+      "0"    — never split (concat-then-ResBlock).
+      "1"    — split every up-path skip site.
+      "auto" — split only seam-UNALIGNED sites (a GroupNorm group straddles
+               the concat seam: C1 % (C/32) != 0), i.e. the 960- and
+               1920-channel sites.
+    History: the round-2 split form required seam alignment for exactness,
+    so "1" silently concat-fell-back at the unaligned sites — which are
+    exactly the profile's conv-emitter outliers (up_0_res_0 0.69 ms vs
+    ~0.46 roofline) — and the aligned 640=320+320 splits measured slightly
+    SLOWER; the recorded "wash" never tested the sites that mattered. The
+    round-5 GroupNorm32 piece path is exact for any seam, making "auto"
+    meaningful (A/B on the full bench before any default flip)."""
+    return os.environ.get("MVDF_SPLIT_SKIP", "0")
 
 from mvdfusion_tpu.nn.layers import (
     CrossAttention,
@@ -124,13 +132,12 @@ class ResBlock(nn.Module):
     """openaimodel.py:163-276 ResBlock (no scale-shift, no up/down).
 
     `skip` (up-path skip connection, unet.py:544-545's torch.cat) is taken
-    as a SEPARATE input: when no GroupNorm group straddles the virtual
-    concat seam, the whole GN -> SiLU -> conv1 chain and the residual Dense
-    are computed per piece and summed — mathematically identical to
-    concat-then-ResBlock but without ever materializing the concat (which
-    forced relayout copies between the Pallas site kernels' transposed
-    outputs and the NHWC conv path). Non-aligned widths fall back to a real
-    concat. Parameters are identical in both forms.
+    as a SEPARATE input: under the MVDF_SPLIT_SKIP policy the whole
+    GN -> SiLU -> conv1 chain and the residual Dense are computed per piece
+    and summed — mathematically identical to concat-then-ResBlock but
+    without ever materializing the concat. Groups straddling the concat
+    seam are exact too (GroupNorm32._norm_pieces combines per-channel
+    moments across pieces). Parameters are identical in both forms.
     """
 
     out_channels: int
@@ -142,8 +149,12 @@ class ResBlock(nn.Module):
     ) -> jnp.ndarray:
         if skip is not None:
             C = x.shape[-1] + skip.shape[-1]
-            gw = C // 32
-            if C % 32 != 0 or x.shape[-1] % gw != 0 or _SPLIT_SKIP_DISABLED():
+            mode = _split_skip_mode()
+            aligned = C % 32 == 0 and x.shape[-1] % (C // 32) == 0
+            split = C % 32 == 0 and (
+                mode == "1" or (mode == "auto" and not aligned)
+            )
+            if not split:
                 x = jnp.concatenate([x, skip], axis=-1)
                 skip = None
         in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
@@ -378,13 +389,22 @@ def volume_pyramid(volume: jnp.ndarray, num_levels: int) -> list[jnp.ndarray]:
     """Area-downsample the frustum to each UNet resolution (unet.py:198-209).
 
     volume: (B, H, W, D, C) -> [same, /2, /4, ..., /2^(L-1)].
+
+    Built successively (each level from the previous, not each from full
+    res): mean-of-2x2-means == mean-of-the-4x4-block up to f32 reassociation
+    (area_downsample accumulates in f32), and the full-res tensor is read
+    once instead of num_levels times — the pyramid was a measured
+    ~0.14 ms/step of the flagship step's data-format tail when computed
+    f32-from-full-res every level (round-5 step trace).
     """
     B, H, W, D, C = volume.shape
     flat = volume.reshape(B, H, W, D * C)
-    levels = []
-    for i in range(num_levels):
-        levels.append(area_downsample(flat, 2**i).reshape(B, H // 2**i, W // 2**i, D, C))
-    return levels
+    levels = [flat]
+    for _ in range(num_levels - 1):
+        levels.append(area_downsample(levels[-1], 2))
+    return [
+        lv.reshape(B, H // 2**i, W // 2**i, D, C) for i, lv in enumerate(levels)
+    ]
 
 
 class UNetModel(nn.Module):

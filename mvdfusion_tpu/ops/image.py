@@ -28,7 +28,9 @@ def area_downsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     B, H, W, C = x.shape
     assert H % factor == 0 and W % factor == 0, (H, W, factor)
     x = x.reshape(B, H // factor, factor, W // factor, factor, C)
-    return x.mean(axis=(2, 4))
+    # f32 accumulation regardless of input dtype (bf16 inputs read at half
+    # the HBM traffic, exact f32 mean, output back in the input dtype)
+    return x.mean(axis=(2, 4), dtype=jnp.float32).astype(x.dtype)
 
 
 def nearest_upsample2x(x: jnp.ndarray) -> jnp.ndarray:

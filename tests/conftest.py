@@ -17,6 +17,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite's cost is XLA:CPU compile time (tier
+# timings in pytest.ini), so warm re-runs deserialize instead of recompiling.
+# Safe to fail (degrades to cold compiles). CI should cache this directory.
+try:
+    _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".pytest_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -145,24 +145,26 @@ def test_split_skip_resblock_matches_concat(monkeypatch):
 
     rng = np.random.default_rng(0)
     emb = jnp.asarray(rng.normal(size=(2, 64)), jnp.float32)
-    # (C_h, C_skip): aligned 32+32 (gw=2 divides both), non-aligned 40+24
-    # (gw=2 divides both -> also split), and a straddling case 33+31 is
-    # impossible under /32 divisibility; use (48, 16): gw=2, both divisible.
-    # Force a genuine fallback with C % 32 != 0: (33, 31) -> concat path.
-    for C_h, C_skip in [(32, 32), (64, 32), (33, 31)]:
+    # (C_h, C_skip): 32+32 is seam-aligned (gw=2 divides C1); 64+32 and
+    # 80+16 (C=96, gw=3, C1%3!=0) have groups STRADDLING the seam — the
+    # same pattern as the flagship's 640+320 (gw 30) and 1280+640 (gw 60)
+    # up-path sites; 33+31 (C%32!=0) must fall back to concat in every mode.
+    for C_h, C_skip in [(32, 32), (64, 32), (80, 16), (33, 31)]:
         block = ResBlock(out_channels=32)
         x = jnp.asarray(rng.normal(size=(2, 8, 8, C_h)), jnp.float32)
         skip = jnp.asarray(rng.normal(size=(2, 8, 8, C_skip)), jnp.float32)
         params = block.init(jax.random.PRNGKey(1), x, emb, skip)
-        monkeypatch.setenv("MVDF_SPLIT_SKIP", "1")
-        split = block.apply(params, x, emb, skip)
         monkeypatch.setenv("MVDF_SPLIT_SKIP", "0")
         concat = block.apply(params, x, emb, skip)
+        for mode in ("1", "auto"):
+            monkeypatch.setenv("MVDF_SPLIT_SKIP", mode)
+            split = block.apply(params, x, emb, skip)
+            assert split.shape == concat.shape == (2, 8, 8, 32)
+            np.testing.assert_allclose(
+                np.asarray(split), np.asarray(concat), rtol=2e-5, atol=2e-5,
+                err_msg=f"mode={mode} C={C_h}+{C_skip}",
+            )
         monkeypatch.delenv("MVDF_SPLIT_SKIP")
-        assert split.shape == concat.shape == (2, 8, 8, 32)
-        np.testing.assert_allclose(
-            np.asarray(split), np.asarray(concat), rtol=2e-5, atol=2e-5
-        )
 
 
 def test_folded_upsample_conv_matches_naive(monkeypatch):

@@ -53,8 +53,85 @@ def test_textured_variant():
     np.testing.assert_array_equal(t["images"], t2["images"])
 
 
-@pytest.mark.parametrize("textured", [False, True])
-def test_cross_view_consistency(textured):
+def test_mixed_family_contract_and_contact():
+    """family='mixed' (boxes + cylinders + spheres with a guaranteed
+    contact pair): dataset contract, flat-faced primitive presence, depth
+    in the rig band, determinism, and a genuine occlusion-contact pair
+    (bounding spheres of primitives 0 and 1 overlap)."""
+    ds = SyntheticScenes(n_scenes=3, image_size=32, seed=3, family="mixed", textured=True)
+    saw_flat = False
+    for i in range(3):
+        s = ds[i]
+        assert s["images"].shape == (16, 32, 32, 3)
+        assert np.isfinite(s["images"]).all() and np.isfinite(s["depths"]).all()
+        assert 0.0 <= s["images"].min() and s["images"].max() <= 1.0
+        fg = s["masks"].reshape(16, -1).mean(axis=1)
+        assert (fg > 0.01).all(), fg
+        z = s["depths"][s["masks"] > 0.5] * DEPTH_SCALE + DEPTH_SHIFT
+        assert z.min() > 0.7 and z.max() < 2.3
+        types, centers, sizes, *_ = ds.scene_params_mixed(i)
+        saw_flat |= bool((types != 0).any())
+        if len(types) >= 2:
+
+            def bound(j):
+                if types[j] == 0:
+                    return sizes[j, 0]
+                if types[j] == 1:
+                    return float(np.linalg.norm(sizes[j]))
+                return float(np.hypot(sizes[j, 0], sizes[j, 1]))
+
+            gap = np.linalg.norm(centers[1] - centers[0])
+            assert gap <= 0.86 * (bound(0) + bound(1)) + 0.11, (gap, types)
+    assert saw_flat
+    s2 = SyntheticScenes(n_scenes=3, image_size=32, seed=3, family="mixed", textured=True)[1]
+    np.testing.assert_array_equal(ds[1]["images"], s2["images"])
+    # spheres family unchanged by the family knob default
+    a = SyntheticScenes(n_scenes=1, image_size=32, seed=3)[0]
+    b = SyntheticScenes(n_scenes=1, image_size=32, seed=3, family="spheres")[0]
+    np.testing.assert_array_equal(a["images"], b["images"])
+
+
+def test_box_cylinder_intersections_exact():
+    """Closed-form intersections against hand-computable rays."""
+    o = np.zeros((1, 1, 1, 3), np.float32)
+    o[..., 2] = -2.0  # origin behind, looking +z
+    d = np.zeros((1, 1, 1, 3), np.float32)
+    d[..., 2] = 1.0
+    # box centered at origin, half-extents 0.5: entry at z=-0.5 -> t=1.5
+    t, n, valid = SyntheticScenes._intersect_box(
+        o, d, np.zeros(3, np.float32), np.full(3, 0.5, np.float32)
+    )
+    assert valid.all() and np.isclose(t[0, 0, 0], 1.5)
+    np.testing.assert_allclose(n[0, 0, 0], [0, 0, -1], atol=1e-6)
+    # cylinder r=0.25 hh=0.4 on y axis: side entry at z=-0.25 -> t=1.75
+    t, n, valid = SyntheticScenes._intersect_cylinder(
+        o, d, np.zeros(3, np.float32), 0.25, 0.4
+    )
+    assert valid.all() and np.isclose(t[0, 0, 0], 1.75)
+    np.testing.assert_allclose(n[0, 0, 0], [0, 0, -1], atol=1e-6)
+    # cap hit: ray from above straight down through the top cap
+    o2 = np.zeros((1, 1, 1, 3), np.float32)
+    o2[..., 1] = 2.0
+    d2 = np.zeros((1, 1, 1, 3), np.float32)
+    d2[..., 1] = -1.0
+    t, n, valid = SyntheticScenes._intersect_cylinder(
+        o2, d2, np.zeros(3, np.float32), 0.25, 0.4
+    )
+    assert valid.all() and np.isclose(t[0, 0, 0], 1.6)
+    np.testing.assert_allclose(n[0, 0, 0], [0, 1, 0], atol=1e-6)
+    # grazing miss next to the box
+    o3 = o.copy()
+    o3[..., 0] = 0.75
+    t, n, valid = SyntheticScenes._intersect_box(
+        o3, d, np.zeros(3, np.float32), np.full(3, 0.5, np.float32)
+    )
+    assert not valid.any()
+
+
+@pytest.mark.parametrize(
+    "textured,family", [(False, "spheres"), (True, "spheres"), (True, "mixed")]
+)
+def test_cross_view_consistency(textured, family):
     """Unproject view A's rendered depth to world points, reproject into
     view B, grid_sample view B's rendering (negated-xy convention,
     nn/viewattn.py:244-245): where the point is unoccluded in B, the
@@ -67,7 +144,7 @@ def test_cross_view_consistency(textured):
     from mvdfusion_tpu.geometry.rays import pixel_rays, rays_to_points
 
     H = 48
-    ds = SyntheticScenes(n_scenes=1, image_size=H, seed=1, textured=textured)
+    ds = SyntheticScenes(n_scenes=1, image_size=H, seed=1, textured=textured, family=family)
     s = ds[0]
     cams = make_cameras(s["R"], s["T"], s["f"], s["c"])
     va, vb = 2, 4  # adjacent-ish views, large mutual visibility
