@@ -41,6 +41,11 @@ def test_overfit_learns(tmp_path):
         seed=0,
         out=str(tmp_path),
         log_every=50,
+        # the mixed primitive family (boxes/cylinders/spheres with an
+        # occlusion-contact pair) — the full-scale committed proof trains
+        # on this family too (docs/LEARNING.md, VERDICT r4 #6)
+        family="mixed",
+        textured=True,
     )
     ds, batch = build_dataset(args)
     model, cfg = build_model(args)
