@@ -75,6 +75,11 @@ def main() -> None:
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     ap.add_argument("--stretch", action="store_true", help="also bench 64^2-latent stretch shape")
     ap.add_argument(
+        "--stretch-only", action="store_true",
+        help="run ONLY the stretch workload (stretch-kernel A/Bs without "
+        "re-paying the main workload's run)",
+    )
+    ap.add_argument(
         "--train", action="store_true",
         help="also bench the training step (reference recipe: 1 scene of "
         "1 input + 5 target views per step, masked AdamW — "
@@ -541,7 +546,7 @@ def main() -> None:
         return result
 
     scenes = args.scenes if args.scenes is not None else 1
-    if not args.train_only:
+    if not (args.train_only or args.stretch_only):
         vps = bench_workload(ViewFusionConfig(), n_views, img, steps, "main", scenes=scenes)
 
     if args.train or args.train_only:
@@ -552,7 +557,7 @@ def main() -> None:
             json.dump(tr, fp, indent=2)
         log(f"[bench:train] wrote {out}")
 
-    if args.stretch:
+    if args.stretch or args.stretch_only:
         import dataclasses
 
         stretch_cfg = dataclasses.replace(
@@ -560,7 +565,7 @@ def main() -> None:
         )
         bench_workload(stretch_cfg, n_views, 512, steps, "stretch64")
 
-    if args.train_only:
+    if args.train_only or args.stretch_only:
         return
     print(
         json.dumps(
