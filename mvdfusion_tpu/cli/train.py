@@ -30,6 +30,13 @@ def parse_args(argv=None):
     p.add_argument("--dp", type=int, default=None, help="data-parallel width (default: all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument(
+        "--scenes-per-chip", type=int, default=None,
+        help="scenes per dp shard per step (trainer.scenes_per_chip, default "
+        "1 — the reference recipe's 1 scene/GPU/step, train.py:87; "
+        "bench.py --train-batches measures the single-chip scaling and "
+        "TRAIN_BENCH.json records the best size for this model/chip)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
     p.add_argument(
@@ -95,7 +102,11 @@ def main(argv=None):
     tp = args.tp
     dp = args.dp or (len(jax.devices()) // tp)
     mesh = make_mesh(dp=dp, tp=tp)
-    print(f"[train] mesh dp={dp} tp={tp} over {len(jax.devices())} devices")
+    spc = args.scenes_per_chip or int(trainer_cfg.get("scenes_per_chip", 1))
+    print(
+        f"[train] mesh dp={dp} tp={tp} over {len(jax.devices())} devices, "
+        f"{spc} scene(s)/chip/step"
+    )
 
     n_views = dataset[0]["images"].shape[0]
     rng_np = np.random.default_rng(args.seed)
@@ -172,7 +183,7 @@ def main(argv=None):
     )
 
     sampler = StatefulShardedSampler(
-        len(dataset), batch_size=dp, seed=args.seed, start_step=start_step
+        len(dataset), batch_size=dp * spc, seed=args.seed, start_step=start_step
     )
 
     load_keys = ("images", "R", "T", "f", "c") + (("depths",) if "depths" in scene0 else ())

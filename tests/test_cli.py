@@ -87,8 +87,11 @@ def test_train_cli_steps_and_resume(fake_gso, tmp_path):
     # periodic training-time visual sampling (vis_interval=2) wrote a grid
     vis_files = os.listdir(os.path.join(exp, "vis"))
     assert any(f.endswith(".jpg") for f in vis_files), vis_files
-    # resume picks up the checkpoint
-    main(["-c", cfgp, "--tiny", "--max-steps", "1", "--dp", "2", "--tp", "1"])
+    # resume picks up the checkpoint; also exercises scenes-per-chip > 1
+    # (N scenes per dp shard per step, the TPU-native generalization of the
+    # reference's 1 scene/GPU/step — measured by bench.py --train-batches)
+    main(["-c", cfgp, "--tiny", "--max-steps", "1", "--dp", "2", "--tp", "1",
+          "--scenes-per-chip", "2"])
 
 
 def test_train_cli_regression_vis(fake_gso, tmp_path):
