@@ -75,13 +75,16 @@ class TrainConfig:
     frozen_master_dtype: str = "auto"  # auto | float32 | bfloat16
     # Pallas dispatch INSIDE the train step. "never" (default): the train
     # step runs the plain-XLA path even where the sampling path fuses —
-    # measured on v5e (bench.py --train, TRAIN_BENCH.json round 4): all-XLA
-    # 6.22 steps/s vs fused 5.76. The fused kernels' custom VJPs
-    # rematerialize their backward through the XLA twin, so training pays
-    # kernel-fwd + twin-fwd + twin-bwd; XLA-everywhere pays twin-fwd once
-    # and lets the compiler share fwd/bwd work. The 50-step SAMPLER (no
-    # gradients) keeps the kernels, where they win +12 ms/step. "model":
-    # inherit the model's own fuse_mode (kernel-in-train tests, A/B).
+    # measured on v5e at the configured recipe (4 scenes/chip/step,
+    # bench.py --fused-ab, TRAIN_BENCH.json round 5): all-XLA 2.76 steps/s
+    # vs fused 2.35 (round 4 at 1 scene: 6.22 vs 5.76; at 1 scene round 5
+    # the A/B is within the ±12% run-to-run noise of a 0.15 s step). The
+    # fused kernels' custom VJPs rematerialize their backward through the
+    # XLA twin, so training pays kernel-fwd + twin-fwd + twin-bwd;
+    # XLA-everywhere pays twin-fwd once and lets the compiler share
+    # fwd/bwd work. The 50-step SAMPLER (no gradients) keeps the kernels,
+    # where they win +12 ms/step. "model": inherit the model's own
+    # fuse_mode (kernel-in-train tests, A/B).
     train_fuse_mode: str = "never"  # never | model
 
 
