@@ -39,10 +39,45 @@ from jax.experimental.pallas import tpu as pltpu
 _LOGIT_BUDGET = 4 * 1024 * 1024
 _SUBLANE = 8
 
+# Softmax normalization placement (MVDF_ATTN_NORM):
+#   pv (default): max-shift and temperature fused into ONE exp pass
+#       (softmax(s*c) == exp((s-m)*c)/sum for c>0), the row-sum rides the PV
+#       matmul as a ones column appended to V (dh=40 pads to 128 MXU lanes
+#       anyway — the extra column is free MXU work), and normalization is
+#       applied to the (BQ, dh) OUTPUT tile. Removes the N^2 fp32 sum pass
+#       AND the N^2 divide pass from the VPU — the §5b stretch attn1 gap.
+#   probs: the round-1..4 form (jax.nn.softmax on the full tile, divide
+#       before the cast) kept for A/B and numerics bisection.
+# block.py measured its in-site version of this a wash (softmax pipelines
+# behind the site's projection matmuls); HERE the kernel is attention-only,
+# so the softmax passes are exposed — measured on v5e (tools/attn_tune.py,
+# chained-carry, 30 iters, round 5): stretch attn1 (16,4096,4096,8x40)
+# natural 10.10 -> 9.79 ms, transposed 11.12 (round 4, probs) -> 8.34 ms.
+# The deferred form is what flips the transposed orientation from loser to
+# winner at the big shape — see _use_transposed.
+import os as _os
 
-def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
+_NORM_MODE = _os.environ.get("MVDF_ATTN_NORM", "pv")
+
+
+def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, dh: int):
+    q = q_ref[0]  # (BQ, dh_p)
+    kt = kt_ref[0]  # (dh_p, N) — pre-transposed so the MXU sees a plain matmul
+    v = v_ref[0]  # (N, dv) — column dh holds ones (denominator rides the PV)
+    s = jax.lax.dot_general(
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp((s - m) * scale).astype(v.dtype)
+    o = jax.lax.dot_general(
+        e, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, dv); o[:, dh] == row-sum of e
+    o_ref[0] = (o * jax.lax.reciprocal(o[:, dh : dh + 1])).astype(o_ref.dtype)
+
+
+def _attn_kernel_probs(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]  # (BQ, dh)
-    kt = kt_ref[0]  # (dh, N) — pre-transposed so the MXU sees a plain matmul
+    kt = kt_ref[0]  # (dh, N)
     v = v_ref[0]  # (N, dh)
     s = jax.lax.dot_general(
         q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -52,7 +87,7 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _attn_kernel_t(qt_ref, kt_ref, vt_ref, o_ref, *, scale: float):
+def _attn_kernel_t(qt_ref, kt_ref, vt_ref, o_ref, *, scale: float, dh: int):
     """Fully TRANSPOSED variant for lane-limited head dims (dh < 128).
 
     The natural-orientation kernel's two matmuls each touch dh lanes:
@@ -63,42 +98,45 @@ def _attn_kernel_t(qt_ref, kt_ref, vt_ref, o_ref, *, scale: float):
     ops/block.py's site kernels, here tiled for N up to 4096):
 
       logits^T (Nk, BQ) = dot_g(kT (dh, Nk), qT (dh, BQ))  contract dh=sublanes
-      softmax over Nk = a SUBLANE-axis reduction
-      out^T   (dh, BQ) = dot_g(vT (dh, Nk), P^T (Nk, BQ))  contract Nk
+      exp-shift over Nk = a SUBLANE-axis reduction; normalization deferred
+      out^T   (dh, BQ) = dot_g(vT (dv, Nk), E^T (Nk, BQ))  contract Nk,
+                         row dh of vT is ones so o[dh] is the denominator
 
     Both contractions are full-width MXU forms (dh=40 is 5 sublane tiles,
     no padding); the only lane-underfilled object left is the (dh, BQ)
     output tile's sublanes — free. The fp32 logits tile (Nk, BQ) is the
     VMEM budget, identical to the natural form's."""
-    qt = qt_ref[0]  # (dh, BQ)
-    kt = kt_ref[0]  # (dh, Nk)
-    vt = vt_ref[0]  # (dh, Nk)
+    qt = qt_ref[0]  # (dh_p, BQ)
+    kt = kt_ref[0]  # (dh_p, Nk)
+    vt = vt_ref[0]  # (dv, Nk) — row dh holds ones (denominator rides the PV)
     st = jax.lax.dot_general(
         kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Nk, BQ)
-    st = st * scale
     m = jnp.max(st, axis=0, keepdims=True)
-    e = jnp.exp(st - m)
-    p = (e / jnp.sum(e, axis=0, keepdims=True)).astype(vt.dtype)
+    e = jnp.exp((st - m) * scale).astype(vt.dtype)
     o = jax.lax.dot_general(
-        vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (dh, BQ)
-    o_ref[0] = o.astype(o_ref.dtype)
+        vt, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (dv, BQ); o[dh] == column-sum of e
+    o_ref[0] = (o * jax.lax.reciprocal(o[dh : dh + 1, :])).astype(o_ref.dtype)
 
 
 def _use_transposed(Nq: int, Nk: int, dh: int) -> bool:
     """Route lane-limited head dims to the transposed kernel.
 
-    MVDF_ATTN_T=0/1 forces the orientation. Measured on v5e
-    (tools/attn_tune.py, chained-carry timing, 20 iters): at the shape the
-    transposed form was BUILT for — stretch 64^2 attn1, B=16, N=4096, 8
-    heads of dh=40 (docs/ARCHITECTURE.md §5b's ~31%-lane-occupancy
-    ceiling) — it LOSES: 11.12 ms vs natural 10.63 ms. The dh-on-sublanes
-    matmuls don't pay for the (B*H, dh, N) fold transposes XLA must emit
-    around the kernel, and the fp32 (Nk, BQ) logits tile pipelines no
-    better. It WINS only at small-Nk skinny shapes (Nq=4096, Nk=128,
-    dh=40: 1.78 vs 2.34 ms), where the whole K/V block stays resident and
-    the fold is cheap — so auto routes there and nowhere else."""
+    MVDF_ATTN_T=0/1 forces the orientation. History (tools/attn_tune.py,
+    chained-carry timing on v5e): with the round-4 probs-normalized softmax
+    the transposed form LOST at the big stretch attn1 shape (B=16, N=4096,
+    8x dh=40): 11.12 ms vs natural 10.63 — the (Nk, BQ) fp32 logits tile's
+    full-width softmax passes (sum over sublanes + divide) ate the
+    lane-occupancy win, so auto routed it only at small-Nk skinny shapes
+    (Nk=128: 1.78 vs 2.34 ms). The round-5 deferred normalization (exp
+    pass only; denominator from a ones ROW riding the PV matmul, divide on
+    the (dh, BQ) output) removes exactly those passes and FLIPS the
+    verdict: transposed 8.34 ms vs natural 9.79 (probs-natural 10.10, XLA
+    13.38) at the big shape, 1.16 vs 1.87 at Nk=128. auto now routes every
+    dh<128 tile-aligned shape to transposed. CLIP's 257-token attention
+    (dh=64) stays natural via the %128 guard; dh>=128 (VAE mid) keeps the
+    natural orientation where the lane limit never applied."""
     import os
 
     mode = os.environ.get("MVDF_ATTN_T", "auto")
@@ -106,7 +144,7 @@ def _use_transposed(Nq: int, Nk: int, dh: int) -> bool:
         return False
     if mode == "1":
         return True
-    return dh < 128 and Nk <= 256 and Nq % 128 == 0 and Nk % 128 == 0
+    return dh < 128 and Nk <= 4096 and Nq % 128 == 0 and Nk % 128 == 0
 
 
 def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
@@ -114,6 +152,7 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
     B, Nq, H, dh = q.shape
     Nk = k.shape[1]
     dh_p = -(-dh // _SUBLANE) * _SUBLANE
+    dv = -(-(dh + 1) // _SUBLANE) * _SUBLANE  # + the PV-matmul ones column
     bq = min(Nq, max(256, _LOGIT_BUDGET // (4 * Nk)))
     while bq > 256 and Nq % bq:
         bq //= 2
@@ -121,23 +160,24 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
         bq = Nq
 
     if _use_transposed(Nq, Nk, dh):
-        def fold_t(x, n):
+        def fold_t(x, n, dp):
             x = jnp.swapaxes(x, 1, 2).reshape(B * H, n, dh)
-            if dh_p != dh:
-                x = jnp.pad(x, ((0, 0), (0, 0), (0, dh_p - dh)))
-            return jnp.swapaxes(x, 1, 2)  # (B*H, dh_p, n)
+            if dp != dh:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - dh)))
+            return jnp.swapaxes(x, 1, 2)  # (B*H, dp, n)
 
-        qt, kt, vt = fold_t(q, Nq), fold_t(k, Nk), fold_t(v, Nk)
+        qt, kt = fold_t(q, Nq, dh_p), fold_t(k, Nk, dh_p)
+        vt = fold_t(v, Nk, dv).at[:, dh, :].set(1)
         out = pl.pallas_call(
-            functools.partial(_attn_kernel_t, scale=scale),
+            functools.partial(_attn_kernel_t, scale=scale, dh=dh),
             grid=(B * H, Nq // bq),
             in_specs=[
                 pl.BlockSpec((1, dh_p, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, dh_p, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, dh_p, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dv, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, dh_p, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B * H, dh_p, Nq), q.dtype),
+            out_specs=pl.BlockSpec((1, dv, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B * H, dv, Nq), q.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=4 * B * H * Nq * Nk * dh_p,
                 bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
@@ -148,24 +188,34 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
         out = out[:, :dh].reshape(B, H, dh, Nq)
         return jnp.transpose(out, (0, 3, 1, 2))
 
-    def fold(x, n):
+    probs = _NORM_MODE == "probs"
+    dvv = dh_p if probs else dv
+
+    def fold(x, n, dp):
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, n, dh)
-        if dh_p != dh:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, dh_p - dh)))
+        if dp != dh:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - dh)))
         return x
 
-    qf, kf, vf = fold(q, Nq), fold(k, Nk), fold(v, Nk)
+    qf, kf, vf = fold(q, Nq, dh_p), fold(k, Nk, dh_p), fold(v, Nk, dvv)
+    if not probs:
+        vf = vf.at[:, :, dh].set(1)
     kf = jnp.swapaxes(kf, 1, 2)  # (B*H, dh, Nk)
+    kern = (
+        functools.partial(_attn_kernel_probs, scale=scale)
+        if probs
+        else functools.partial(_attn_kernel, scale=scale, dh=dh)
+    )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        kern,
         grid=(B * H, Nq // bq),
         in_specs=[
             pl.BlockSpec((1, bq, dh_p), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dh_p, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nk, dh_p), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, dvv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, dh_p), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Nq, dh_p), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, dvv), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Nq, dvv), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Nq * Nk * dh_p,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,

@@ -77,20 +77,23 @@ def test_fused_attention_grad_matches_xla(rng):
 
 def test_routing_gates(monkeypatch):
     """Pin the measured routing decisions (tools/attn_tune.py, v5e):
-    transposed auto-routes ONLY at small-Nk skinny shapes; should_fuse
-    sends the VAE mid-attention at decode batch (B>=2, dh=512) to XLA
-    (measured 1.85 vs 2.32 ms) while keeping the B=1 case fused."""
+    with the round-5 deferred-normalization softmax, transposed wins every
+    lane-limited (dh<128) tile-aligned shape — stretch attn1 8.34 vs
+    natural 9.79 ms, skinny Nk=128 1.16 vs 1.87 — so auto routes all of
+    them; should_fuse sends the VAE mid-attention at decode batch (B>=2,
+    dh=512) to XLA (measured 1.85 vs 2.32 ms) while keeping B=1 fused."""
     import jax
 
     from mvdfusion_tpu.ops import attention as A
 
     monkeypatch.delenv("MVDF_ATTN_T", raising=False)
-    assert not A._use_transposed(4096, 4096, 40)  # stretch attn1: natural wins
+    assert A._use_transposed(4096, 4096, 40)  # stretch attn1: transposed wins (r5)
     assert A._use_transposed(4096, 128, 40)  # skinny kv: transposed wins
     assert not A._use_transposed(4096, 128, 128)  # lane-full dh: natural
     assert not A._use_transposed(4100, 128, 40)  # unclean Nq
-    monkeypatch.setenv("MVDF_ATTN_T", "1")
-    assert A._use_transposed(4096, 4096, 40)
+    assert not A._use_transposed(257, 257, 64)  # CLIP tokens: unclean -> natural
+    monkeypatch.setenv("MVDF_ATTN_T", "0")
+    assert not A._use_transposed(4096, 4096, 40)
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.delenv("MVDF_DISABLE_PALLAS", raising=False)

@@ -40,8 +40,14 @@ def time_chained(fn, q, k, v, iters: int) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--filter", default="", help="substring filter on shape name")
+    ap.add_argument(
+        "--norms", default="pv",
+        help="comma list of MVDF_ATTN_NORM modes to A/B (pv,probs)",
+    )
     a = ap.parse_args()
 
+    import mvdfusion_tpu.ops.attention as attention_mod
     from mvdfusion_tpu.ops.attention import _xla_attention, fused_attention
 
     print(f"device={jax.devices()[0].device_kind}", file=sys.stderr)
@@ -56,19 +62,23 @@ def main():
     ]
     key = jax.random.PRNGKey(0)
     for name, B, Nq, Nk, H, dh in shapes:
+        if a.filter and a.filter not in name:
+            continue
         kq, kk, kv = jax.random.split(key, 3)
         q = (jax.random.normal(kq, (B, Nq, H, dh), jnp.float32)).astype(jnp.bfloat16)
         k = (jax.random.normal(kk, (B, Nk, H, dh), jnp.float32)).astype(jnp.bfloat16)
         v = (jax.random.normal(kv, (B, Nk, H, dh), jnp.float32)).astype(jnp.bfloat16)
         scale = dh**-0.5
         rows = []
-        for tag, env in [("natural", "0"), ("transposed", "1")]:
-            os.environ["MVDF_ATTN_T"] = env
-            # fresh jit per env state: the orientation gate reads the env at
-            # trace time, so a cached trace would ignore the flip
-            fn = jax.jit(lambda q, k, v, s=scale: fused_attention(q, k, v, s))
-            ms = time_chained(fn, q, k, v, a.iters) * 1e3
-            rows.append((tag, ms))
+        for norm in a.norms.split(","):
+            attention_mod._NORM_MODE = norm  # module global, read at trace time
+            for tag, env in [("natural", "0"), ("transposed", "1")]:
+                os.environ["MVDF_ATTN_T"] = env
+                # fresh jit per env state: the orientation gate reads the env at
+                # trace time, so a cached trace would ignore the flip
+                fn = jax.jit(lambda q, k, v, s=scale: fused_attention(q, k, v, s))
+                ms = time_chained(fn, q, k, v, a.iters) * 1e3
+                rows.append((f"{tag}/{norm}", ms))
         fn = jax.jit(lambda q, k, v, s=scale: _xla_attention(q, k, v, s))
         rows.append(("xla", time_chained(fn, q, k, v, a.iters) * 1e3))
         flops = 4 * B * H * Nq * Nk * dh
