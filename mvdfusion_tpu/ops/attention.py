@@ -188,7 +188,13 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
         out = out[:, :dh].reshape(B, H, dh, Nq)
         return jnp.transpose(out, (0, 3, 1, 2))
 
-    probs = _NORM_MODE == "probs"
+    # The ones column is only free when it rides a partially-filled 128-lane
+    # MXU tile (dh=40 -> 48, dh=64 -> 72). At lane-ALIGNED head dims (the VAE
+    # mid-attention's dh=512) it would add a whole extra output tile to the
+    # PV matmul (+12.5% MXU work) against an unmeasured softmax saving — those
+    # shapes keep the round-4 probs-normalized kernel.
+    ones_free = -(-dv // 128) == -(-dh_p // 128)
+    probs = _NORM_MODE == "probs" or not ones_free
     dvv = dh_p if probs else dv
 
     def fold(x, n, dp):
