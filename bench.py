@@ -356,6 +356,27 @@ def main() -> None:
             log(f"[bench:{tag}] cost_analysis unavailable: {e}")
         return vps
 
+    def make_batch(n_scenes, S=6):
+        """Synthetic train batch: n scenes x (1 input + S-1 target views).
+        Shared by the bench_train sweep AND the solo --fused-ab path so the
+        remat A/B always compares identical workloads."""
+        rng = np.random.default_rng(1)
+        azim = np.linspace(0.0, 300.0, S)
+        R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=azim + 90.0)
+        tile = lambda a: jnp.broadcast_to(
+            jnp.asarray(a)[None], (n_scenes,) + np.shape(a)
+        )
+        return {
+            "images": jnp.asarray(
+                rng.uniform(size=(n_scenes, S, img, img, 3)), jnp.float32
+            ),
+            "R": tile(R), "T": tile(T),
+            "f": jnp.full((n_scenes, S, 2), 2.1875),
+            "c": jnp.zeros((n_scenes, S, 2)),
+            "input_idx": jnp.zeros((n_scenes, 1), jnp.int32),
+            "target_idx": tile(jnp.asarray(np.arange(1, S), jnp.int32)),
+        }
+
     def bench_train(cfg, tag, scene_batches=(1,)):
         """Training-step throughput, reference recipe (1 scene of 1 input +
         5 random target views, shared t, masked AdamW over the trainable
@@ -387,25 +408,6 @@ def main() -> None:
         # 1B-param net). Step COST is lr-independent; this keeps the timed
         # losses finite and honest.
         tc = TrainConfig(lr=1e-8)
-        S = 6
-
-        def make_batch(n_scenes):
-            rng = np.random.default_rng(1)
-            azim = np.linspace(0.0, 300.0, S)
-            R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=azim + 90.0)
-            tile = lambda a: jnp.broadcast_to(
-                jnp.asarray(a)[None], (n_scenes,) + np.shape(a)
-            )
-            return {
-                "images": jnp.asarray(
-                    rng.uniform(size=(n_scenes, S, img, img, 3)), jnp.float32
-                ),
-                "R": tile(R), "T": tile(T),
-                "f": jnp.full((n_scenes, S, 2), 2.1875),
-                "c": jnp.zeros((n_scenes, S, 2)),
-                "input_idx": jnp.zeros((n_scenes, 1), jnp.int32),
-                "target_idx": tile(jnp.asarray([1, 2, 3, 4, 5], jnp.int32)),
-            }
 
         def run_one(n_scenes):
             """steps/s for one scene-batch size; {'oom': ...} if it doesn't
@@ -563,15 +565,19 @@ def main() -> None:
             else:
                 log(f"[bench:{tag}] train remat A/B unavailable: {e}")
         try:
+            # `batch` here is the BEST-scene-batch one (reassigned above), so
+            # pair its lowered FLOPs with sps_best — mixing in the 1-scene
+            # head steps/s would overstate device-MFU ~best-fold.
             dev_fl = float(
                 jax.jit(make_train_step(model, tc), donate_argnums=(0,))
                 .lower(abs_state, batch, jax.random.PRNGKey(0))
                 .compile().cost_analysis()["flops"]
             )
-            dev_mfu = dev_fl / 1e12 * sps / peak if peak else float("nan")
+            dev_mfu = dev_fl / 1e12 * sps_best / peak if peak else float("nan")
             log(
-                f"[bench:{tag}] device_flops={dev_fl/1e12:.2f} TFLOP/step "
-                f"device-MFU={dev_mfu*100:.1f}% (incl. Pallas-declared impl FLOPs; secondary)"
+                f"[bench:{tag}] device_flops={dev_fl/1e12:.2f} TFLOP/step (scene "
+                f"batch {best}) device-MFU={dev_mfu*100:.1f}% "
+                f"(incl. Pallas-declared impl FLOPs; secondary)"
             )
         except Exception as e:  # pragma: no cover
             log(f"[bench:{tag}] train device cost_analysis unavailable: {e}")
@@ -588,21 +594,7 @@ def main() -> None:
 
         tag = f"fused-ab-b{n_scenes}"
         model, params, *_ = build(_dc.replace(cfg, unet_remat=True), 5, img, tag)
-        rng = np.random.default_rng(1)
-        S = 6
-        azim = np.linspace(0.0, 300.0, S)
-        R, T = look_at_view_transform(dist=1.5, elev=30.0, azim=azim + 90.0)
-        tile = lambda a: jnp.broadcast_to(jnp.asarray(a)[None], (n_scenes,) + np.shape(a))
-        batch = {
-            "images": jnp.asarray(
-                rng.uniform(size=(n_scenes, S, img, img, 3)), jnp.float32
-            ),
-            "R": tile(R), "T": tile(T),
-            "f": jnp.full((n_scenes, S, 2), 2.1875),
-            "c": jnp.zeros((n_scenes, S, 2)),
-            "input_idx": jnp.zeros((n_scenes, 1), jnp.int32),
-            "target_idx": tile(jnp.asarray([1, 2, 3, 4, 5], jnp.int32)),
-        }
+        batch = make_batch(n_scenes)
         tc = TrainConfig(lr=1e-8, train_fuse_mode="model")
         state = init_train_state(params, tc, model)
         del params

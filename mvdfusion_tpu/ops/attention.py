@@ -46,8 +46,10 @@ _SUBLANE = 8
 #       anyway — the extra column is free MXU work), and normalization is
 #       applied to the (BQ, dh) OUTPUT tile. Removes the N^2 fp32 sum pass
 #       AND the N^2 divide pass from the VPU — the §5b stretch attn1 gap.
-#   probs: the round-1..4 form (jax.nn.softmax on the full tile, divide
-#       before the cast) kept for A/B and numerics bisection.
+#   probs: the round-1..4 form (normalize the full probability tile, divide
+#       before the cast) kept for A/B and numerics bisection — honored by
+#       BOTH orientations, and read at trace time (like MVDF_ATTN_T), so
+#       monkeypatch/driver env flips take effect without re-import.
 # block.py measured its in-site version of this a wash (softmax pipelines
 # behind the site's projection matmuls); HERE the kernel is attention-only,
 # so the softmax passes are exposed — measured on v5e (tools/attn_tune.py,
@@ -57,7 +59,9 @@ _SUBLANE = 8
 # winner at the big shape — see _use_transposed.
 import os as _os
 
-_NORM_MODE = _os.environ.get("MVDF_ATTN_NORM", "pv")
+
+def _norm_mode() -> str:
+    return _os.environ.get("MVDF_ATTN_NORM", "pv")
 
 
 def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, dh: int):
@@ -120,6 +124,24 @@ def _attn_kernel_t(qt_ref, kt_ref, vt_ref, o_ref, *, scale: float, dh: int):
     o_ref[0] = (o * jax.lax.reciprocal(o[dh : dh + 1, :])).astype(o_ref.dtype)
 
 
+def _attn_kernel_t_probs(qt_ref, kt_ref, vt_ref, o_ref, *, scale: float):
+    """Round-4 transposed form: full-tile normalization before the PV."""
+    qt = qt_ref[0]  # (dh_p, BQ)
+    kt = kt_ref[0]  # (dh_p, Nk)
+    vt = vt_ref[0]  # (dh_p, Nk)
+    st = jax.lax.dot_general(
+        kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Nk, BQ)
+    st = st * scale
+    m = jnp.max(st, axis=0, keepdims=True)
+    e = jnp.exp(st - m)
+    p = (e / jnp.sum(e, axis=0, keepdims=True)).astype(vt.dtype)
+    o = jax.lax.dot_general(
+        vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (dh_p, BQ)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
 def _use_transposed(Nq: int, Nk: int, dh: int) -> bool:
     """Route lane-limited head dims to the transposed kernel.
 
@@ -159,7 +181,11 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
     if Nq % bq:  # no clean divisor (e.g. CLIP's 257 tokens): whole-dim block
         bq = Nq
 
+    probs = _norm_mode() == "probs"
+
     if _use_transposed(Nq, Nk, dh):
+        dvt = dh_p if probs else dv
+
         def fold_t(x, n, dp):
             x = jnp.swapaxes(x, 1, 2).reshape(B * H, n, dh)
             if dp != dh:
@@ -167,17 +193,24 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
             return jnp.swapaxes(x, 1, 2)  # (B*H, dp, n)
 
         qt, kt = fold_t(q, Nq, dh_p), fold_t(k, Nk, dh_p)
-        vt = fold_t(v, Nk, dv).at[:, dh, :].set(1)
+        vt = fold_t(v, Nk, dvt)
+        if not probs:
+            vt = vt.at[:, dh, :].set(1)
+        kern_t = (
+            functools.partial(_attn_kernel_t_probs, scale=scale)
+            if probs
+            else functools.partial(_attn_kernel_t, scale=scale, dh=dh)
+        )
         out = pl.pallas_call(
-            functools.partial(_attn_kernel_t, scale=scale, dh=dh),
+            kern_t,
             grid=(B * H, Nq // bq),
             in_specs=[
                 pl.BlockSpec((1, dh_p, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, dh_p, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, dv, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dvt, Nk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, dv, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B * H, dv, Nq), q.dtype),
+            out_specs=pl.BlockSpec((1, dvt, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B * H, dvt, Nq), q.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=4 * B * H * Nq * Nk * dh_p,
                 bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
@@ -194,7 +227,7 @@ def _fused_attention_fwd_impl(q, k, v, scale: float, interpret: bool):
     # PV matmul (+12.5% MXU work) against an unmeasured softmax saving — those
     # shapes keep the round-4 probs-normalized kernel.
     ones_free = -(-dv // 128) == -(-dh_p // 128)
-    probs = _NORM_MODE == "probs" or not ones_free
+    probs = probs or not ones_free
     dvv = dh_p if probs else dv
 
     def fold(x, n, dp):

@@ -40,6 +40,7 @@ def test_fused_attention_bf16(rng):
     )
 
 
+@pytest.mark.parametrize("norm", ["pv", "probs"])
 @pytest.mark.parametrize("orient", ["0", "1"])
 @pytest.mark.parametrize(
     "B,Nq,Nk,H,dh",
@@ -49,10 +50,12 @@ def test_fused_attention_bf16(rng):
         (1, 512, 256, 1, 64),  # uneven kv
     ],
 )
-def test_fused_attention_both_orientations(rng, monkeypatch, orient, B, Nq, Nk, H, dh):
-    """Forced natural (0) vs forced transposed (1) kernel, both vs XLA —
-    pins parity for whichever orientation the auto gate picks on TPU."""
+def test_fused_attention_both_orientations(rng, monkeypatch, norm, orient, B, Nq, Nk, H, dh):
+    """Forced natural (0) vs forced transposed (1) kernel, in BOTH softmax
+    normalization modes (MVDF_ATTN_NORM, read at trace time), all vs XLA —
+    pins parity for whatever combination the gates pick on TPU."""
     monkeypatch.setenv("MVDF_ATTN_T", orient)
+    monkeypatch.setenv("MVDF_ATTN_NORM", norm)
     q = jnp.asarray(rng.normal(size=(B, Nq, H, dh)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(B, Nk, H, dh)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(B, Nk, H, dh)), jnp.float32)

@@ -47,7 +47,6 @@ def main():
     )
     a = ap.parse_args()
 
-    import mvdfusion_tpu.ops.attention as attention_mod
     from mvdfusion_tpu.ops.attention import _xla_attention, fused_attention
 
     print(f"device={jax.devices()[0].device_kind}", file=sys.stderr)
@@ -71,7 +70,7 @@ def main():
         scale = dh**-0.5
         rows = []
         for norm in a.norms.split(","):
-            attention_mod._NORM_MODE = norm  # module global, read at trace time
+            os.environ["MVDF_ATTN_NORM"] = norm  # read at trace time
             for tag, env in [("natural", "0"), ("transposed", "1")]:
                 os.environ["MVDF_ATTN_T"] = env
                 # fresh jit per env state: the orientation gate reads the env at
