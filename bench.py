@@ -272,7 +272,10 @@ def main() -> None:
 
         step_ms = slope_ms(one_step, (params, x), 4, 16)
 
-        z = jnp.zeros((B, ls, ls, 4))
+        # gen_reduce runs ONE decode over the scenes*B batched latents (not
+        # `scenes` B-sized decodes), so the probe must measure the decode at
+        # that exact batch or the multi-scene in-scan subtraction is biased.
+        z = jnp.zeros((scenes * B, ls, ls, 4))
 
         def dec_step_body(p, z, carry):
             out = model.apply(p, z + carry * 0, method=ViewFusion.decode_latents)
@@ -287,7 +290,7 @@ def main() -> None:
         # program). The standalone slope is the A/B comparator; a standalone
         # vs in-scan gap beyond ~5% means the standalone program fuses
         # differently and full-bench confirmation is required.
-        inscan_ms = (steady - scenes * dec_ms / 1e3) / steps / scenes * 1e3
+        inscan_ms = (steady - dec_ms / 1e3) / steps / scenes * 1e3
         log(
             f"[bench:{tag}] per-DDIM-step standalone {step_ms:.1f} ms, "
             f"in-scan {inscan_ms:.1f} ms (x {steps} = {inscan_ms*steps/1e3:.2f}s); "
@@ -343,7 +346,9 @@ def main() -> None:
                 dec_step.lower(params, z, jnp.zeros((), jnp.float32))
                 .compile().cost_analysis()["flops"]
             )
-            tflops = scenes * (step_fl * steps + dec_fl) / 1e12
+            # dec_fl is lowered at the scenes*B batch already — only the
+            # per-step FLOPs scale with `scenes` here.
+            tflops = (scenes * step_fl * steps + dec_fl) / 1e12
             achieved = tflops / steady
             mfu = achieved / peak if peak else float("nan")
             log(
@@ -446,7 +451,11 @@ def main() -> None:
                 lossv = float(loss)
                 del state, loss
             except Exception as e:  # ResourceExhausted and friends
-                if "RESOURCE_EXHAUSTED" not in str(e) and "Resource" not in str(e):
+                # match the XLA error code / class name only — a bare
+                # "Resource" substring also matches unrelated OS errors
+                # ("Resource temporarily unavailable") and would record a
+                # real failure as a capacity fact
+                if "RESOURCE_EXHAUSTED" not in str(e) and "ResourceExhausted" not in type(e).__name__:
                     raise
                 log(f"[bench:{btag}] scene batch {n_scenes} does not fit: OOM")
                 return None, {"oom": True, "error": str(e).split("\n")[0][:200]}
@@ -476,12 +485,12 @@ def main() -> None:
             return (model, batch, abs_state), entry
 
         batch_table = {}
-        keep = None
+        keep, keep_n = None, None
         for n in scene_batches:
             k, entry = run_one(n)
             batch_table[str(n)] = entry
             if keep is None and k is not None:
-                keep = k
+                keep, keep_n = k, n
         fits = {int(n): v for n, v in batch_table.items() if not v.get("oom")}
         if keep is None or not fits:
             return {"metric": "train_steps_per_sec_1scene_1in5tgt", "oom": True,
@@ -505,7 +514,7 @@ def main() -> None:
         # the configured recipe (configs/train.yaml scenes_per_chip) whose
         # default the verdict governs
         sps_best = fits[best]["steps_per_sec"]
-        if best != min(fits):
+        if best != keep_n:  # `batch` is the KEPT run's batch, not min(fits)'s
             batch = make_batch(best)
 
         # Training MFU (VERDICT r2 weak #8): with train_fuse_mode="never"
@@ -522,10 +531,13 @@ def main() -> None:
             tc_fused = _dc.replace(tc, train_fuse_mode="model")
             step_f = jax.jit(make_train_step(model, tc_fused), donate_argnums=(0,))
             _, params2, *_ = build(_dc.replace(cfg, unet_remat=True), 5, img, tag + "-fused")
-            st, ls = step_f(
-                init_train_state(params2, tc_fused, model), batch, jax.random.PRNGKey(0)
-            )
+            state_f = init_train_state(params2, tc_fused, model)
+            # f32 init params must die BEFORE the first step — keeping them
+            # alive next to the ~13 GB state is run_one's measured OOM, and
+            # they also pin buffers donate_argnums wants to reclaim.
             del params2
+            st, ls = step_f(state_f, batch, jax.random.PRNGKey(0))
+            del state_f  # donated
             _ = float(ls)
             tx = []
             for i in range(5):

@@ -32,10 +32,11 @@ def parse_args(argv=None):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument(
         "--scenes-per-chip", type=int, default=None,
-        help="scenes per dp shard per step (trainer.scenes_per_chip, default "
-        "1 — the reference recipe's 1 scene/GPU/step, train.py:87; "
-        "bench.py --train-batches measures the single-chip scaling and "
-        "TRAIN_BENCH.json records the best size for this model/chip)",
+        help="scenes per dp shard per step (overrides trainer.scenes_per_chip; "
+        "configs/train.yaml ships 4 — the measured-best single-chip batch, "
+        "TRAIN_BENCH.json — so pass 1 for the reference recipe's exact "
+        "1 scene/GPU/step, train.py:87, e.g. when resuming a pre-round-5 "
+        "run whose lr was tuned at that batch)",
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)

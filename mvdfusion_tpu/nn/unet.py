@@ -46,7 +46,12 @@ def _split_skip_mode() -> str:
     SLOWER; the recorded "wash" never tested the sites that mattered. The
     round-5 GroupNorm32 piece path is exact for any seam, and "auto"
     measured a clear WIN on the full v5e bench: 5.054 views/s vs 4.956
-    (+1.7%, per-DDIM-step 31.4 -> 30.9 ms) — now the default."""
+    (+1.7%, per-DDIM-step 31.4 -> 30.9 ms) — now the default. Caveat for
+    re-running the "1" A/B: split sites now normalize via _norm_pieces
+    (pure-XLA two-stage moments), not round-4's per-piece fusable GN, so a
+    "1"-vs-"auto" delta measures the aligned SPLIT + that GN-path change
+    together — the round-4 "aligned splits slightly slower" record is not
+    directly reproducible on current code."""
     return os.environ.get("MVDF_SPLIT_SKIP", "auto")
 
 from mvdfusion_tpu.nn.layers import (

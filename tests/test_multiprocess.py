@@ -27,10 +27,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_allreduce():
+def _run_pair(port: int):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "mp_worker.py")
-    port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
@@ -49,6 +48,17 @@ def test_two_process_dp_allreduce():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_dp_allreduce():
+    procs, outs = _run_pair(_free_port())
+    if any(p.returncode for p in procs) and any(
+        "in use" in o.lower() or "bind" in o.lower() for o in outs
+    ):
+        # _free_port is probe-then-close (TOCTOU): an unrelated process can
+        # grab the port in the gap. One fresh-port retry, only for that case.
+        procs, outs = _run_pair(_free_port())
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i} failed:\n{out[-3000:]}"
         assert f"proc{i} MP-OK" in out, out[-3000:]
